@@ -1,0 +1,159 @@
+"""
+User-facing trajectory module: readers, step construction, displacement
+decomposition, ReducedTrajectory.
+
+API parity with amof/trajectory.py — ``read_lammps_traj`` :193,
+``read_cp2k_traj`` :208, ``read_lammps_data`` :186, ``construct_step``
+:244, ``get_delta_pos`` :285, ``get_density``/``get_number_density``
+:236-242, ``ReducedTrajectory`` :120-184 — implemented on top of
+amof_tpu's own I/O (no ASE dependency).
+"""
+
+from __future__ import annotations
+
+import logging
+import pathlib
+
+import numpy as np
+import pandas as pd
+
+import amof_tpu.atom
+import amof_tpu.files.path as ampath
+import amof_tpu.symbols
+from amof_tpu.core.cellmath import wrap_positions
+from amof_tpu.core.frames import Frame, FrameBatch, Trajectory, as_frame_batch  # noqa: F401
+from amof_tpu.core.step import construct_step  # noqa: F401  (re-export)
+from amof_tpu.io import cp2k as _cp2k
+from amof_tpu.io import lammps as _lammps
+from amof_tpu.io import xyz as _xyz
+
+logger = logging.getLogger(__name__)
+
+
+def read_traj(filename, index=None, format=None, unzip=False):
+    """Read a trajectory file into a Trajectory (xyz / extxyz only for
+    now; parity for the path the reference actually exercises,
+    amof/trajectory.py:38-60). ``unzip`` is accepted for API
+    compatibility — gzip is always handled transparently."""
+    del format, unzip  # gzip and format detection are automatic
+    logger.info("Read trajectory %s", filename)
+    frames = _xyz.read_xyz(filename, index if index is not None else ":")
+    if isinstance(frames, Frame):
+        frames = [frames]
+    return Trajectory(frames)
+
+
+def read_lammps_data(filename, atom_style):
+    """Single-frame trajectory from a LAMMPS data file
+    (parity: amof/trajectory.py:186-191)."""
+    return [_lammps.read_lammps_data(filename, atom_style)]
+
+
+def read_lammps_traj(path_to_xyz, index=None, cell=None, unzip_xyz=False):
+    """Read a LAMMPS xyz dump, optionally attaching per-frame cells
+    (parity: amof/trajectory.py:193-205)."""
+    traj = read_traj(path_to_xyz, index, format="xyz", unzip=unzip_xyz)
+    if cell is not None:
+        traj.set_cell(cell, set_pbc=True)
+    return traj.get_traj()
+
+
+def read_cp2k_traj(path_to_xyz, path_to_cell, index=None, unzip_xyz=False):
+    """Read a CP2K xyz + .cell file pair
+    (parity: amof/trajectory.py:208-228)."""
+    traj = read_traj(path_to_xyz, index, format="xyz", unzip=unzip_xyz)
+    cell = _cp2k.read_cell_file(path_to_cell, index=index)
+    traj.set_cell(cell, set_pbc=True)
+    return traj.get_traj()
+
+
+def apply_to_traj(trajectory, function, how):
+    """Apply ``function`` to every frame and aggregate
+    (parity: amof/trajectory.py:231-234)."""
+    if how == "mean":
+        return np.mean([function(frame) for frame in trajectory])
+    raise ValueError(f"unsupported aggregation {how!r}")
+
+
+def get_density(trajectory, how="mean"):
+    """Mean mass density (kg/L) of a trajectory."""
+    return apply_to_traj(trajectory, amof_tpu.atom.get_density, how)
+
+
+def get_number_density(trajectory, how="mean"):
+    """Mean number density (Å^-3) of a trajectory."""
+    return apply_to_traj(trajectory, amof_tpu.atom.get_number_density, how)
+
+
+def get_delta_pos(pos, cell):
+    """Decompose a position trajectory into minimum-image displacements.
+
+    delta_pos[0] holds the initial positions; delta_pos[k] (k>=1) is the
+    frame-(k-1)->frame-k displacement wrapped into the cell around the
+    origin (parity: amof/trajectory.py:285-303). Summing delta_pos[0..k]
+    reconstructs unwrapped positions.
+    """
+    delta_pos = [np.asarray(pos[0], dtype=np.float64)]
+    for k in range(len(pos) - 1):
+        delta_pos.append(
+            wrap_positions(pos[k + 1] - pos[k], cell[k], center=(0.0, 0.0, 0.0))
+        )
+    return delta_pos
+
+
+class ReducedTrajectory:
+    """Coarse-grained trajectory: frames + report_search + DummySymbols.
+
+    Round-trips as .xyz + .report_search.csv + .symbols files
+    (parity: amof/trajectory.py:120-184).
+    """
+
+    def __init__(self, trajectory=None, report_search=None, symbols=None):
+        self.trajectory = [] if trajectory is None else trajectory
+        self.report_search = (
+            pd.DataFrame({"Step": np.empty([0])})
+            if report_search is None
+            else report_search
+        )
+        self.symbols = (
+            amof_tpu.symbols.DummySymbols() if symbols is None else symbols
+        )
+
+    @classmethod
+    def from_file(cls, filename, sampling=1, load_trajectory=True):
+        """Load from ``filename`` (without the final suffixes)."""
+        if load_trajectory:
+            logger.info("Read reduced trajectory %s", pathlib.Path(filename).name)
+            trajectory = _xyz.read_xyz(ampath.append_suffix(filename, "xyz"), ":")
+        else:
+            trajectory = []
+        report_search = pd.read_csv(
+            ampath.append_suffix(filename, "report_search.csv"), index_col=0
+        )
+        symbols = amof_tpu.symbols.DummySymbols.from_file(filename)
+        new = cls(trajectory, report_search, symbols)
+        if sampling != 1:
+            new.sample(sampling)
+        return new
+
+    def write_to_file(self, filename):
+        self.report_search.to_csv(
+            ampath.append_suffix(filename, "report_search.csv")
+        )
+        _xyz.write_xyz(ampath.append_suffix(filename, "xyz"), self.trajectory)
+        self.symbols.write_to_file(filename)
+
+    def sample(self, sampling):
+        """Keep every ``sampling``-th frame among those flagged
+        in_reduced_trajectory (reference rounding semantics,
+        amof/trajectory.py:168-184)."""
+        if len(self.report_search) != 0:
+            rs_traj = self.report_search[
+                self.report_search["in_reduced_trajectory"] == True  # noqa: E712
+            ]
+            in_traj_sampling = round(
+                sampling * len(rs_traj) / len(self.report_search)
+            )
+            if in_traj_sampling != 0:
+                self.trajectory = self.trajectory[::in_traj_sampling]
+                self.report_search = rs_traj[::in_traj_sampling]
