@@ -3,7 +3,7 @@ sharding/mesh code paths run without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the shell env carries 'axon' (TPU tunnel)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -52,14 +52,32 @@ def simple_cubic_frame():
     return Frame(pts, np.full(len(pts), 18), cell, pbc=True)
 
 
-@pytest.fixture
-def nacl_frame():
-    """Rock-salt NaCl conventional cell scaled so Na-Cl distance = 2.0 Å."""
-    a = 4.0
+def _nacl(a=4.0, reps=1):
     base = np.array(
         [[0, 0, 0], [0.5, 0.5, 0], [0.5, 0, 0.5], [0, 0.5, 0.5]]
     )
     cl_off = np.array([0.5, 0, 0])
     frac = np.concatenate([base, (base + cl_off) % 1.0])
     numbers = np.array([11] * 4 + [17] * 4)
-    return Frame(frac * a, numbers, np.eye(3) * a, pbc=True)
+    # replicate
+    cells = np.array(
+        [[i, j, k] for i in range(reps) for j in range(reps) for k in range(reps)]
+    )
+    frac_all = ((frac[None, :, :] + cells[:, None, :]) / reps).reshape(-1, 3)
+    numbers_all = np.tile(numbers, reps**3)
+    return Frame(frac_all * a * reps, numbers_all, np.eye(3) * a * reps, pbc=True)
+
+
+@pytest.fixture
+def nacl_frame():
+    """Rock-salt NaCl conventional cell scaled so Na-Cl distance = 2.0 Å.
+    NB: nearest-neighbor distance equals half the cell — fine for the
+    image-enumerating host engine, NOT for min-image kernels."""
+    return _nacl()
+
+
+@pytest.fixture
+def nacl_supercell_frame():
+    """2x2x2 NaCl supercell (64 atoms): Na-Cl = 2.0 Å << half cell 4.0 Å,
+    safe for minimum-image device kernels."""
+    return _nacl(reps=2)
