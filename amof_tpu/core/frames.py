@@ -163,6 +163,12 @@ class FrameBatch(NamedTuple):
         for f in frames:
             if len(f) != n:
                 raise ValueError("all frames must have the same atom count")
+            if not np.array_equal(f.numbers, frames[0].numbers):
+                raise ValueError(
+                    "species must be identical across frames (the reference "
+                    "makes the same assumption by reading them from frame 0, "
+                    "amof/rdf.py:71)"
+                )
         species = frames[0].numbers.astype(np.int32)
         positions = np.stack([f.positions for f in frames]).astype(dtype)
         cell = np.stack([f.cell for f in frames]).astype(dtype)

@@ -56,11 +56,28 @@ def pad_atoms(positions: np.ndarray, species_idx: np.ndarray, multiple: int = 25
     return pos_pad, sp_pad
 
 
+def matvec3(v, m):
+    """Row-vector 3-matrix product v @ m as unrolled multiply-adds.
+
+    Deliberately NOT a dot/matmul: XLA lowers tiny f32 contractions at
+    reduced (bf16-grade) precision on some backends, and a K=3 contraction
+    wastes the MXU anyway — elementwise FMAs keep full f32 on the VPU.
+    """
+    return jnp.stack(
+        [
+            v[..., 0] * m[0, 0] + v[..., 1] * m[1, 0] + v[..., 2] * m[2, 0],
+            v[..., 0] * m[0, 1] + v[..., 1] * m[1, 1] + v[..., 2] * m[2, 1],
+            v[..., 0] * m[0, 2] + v[..., 1] * m[1, 2] + v[..., 2] * m[2, 2],
+        ],
+        axis=-1,
+    )
+
+
 def min_image_delta(delta, cell, inv_cell):
     """Round-based minimum image (device). delta [..., 3]."""
-    frac = delta @ inv_cell
+    frac = matvec3(delta, inv_cell)
     frac = frac - jnp.floor(frac + (0.5 + WRAP_EPS))
-    return frac @ cell
+    return matvec3(frac, cell)
 
 
 def _mxu_histogram(k, weight, total: int, lo: int = 128):

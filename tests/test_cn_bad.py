@@ -1,0 +1,221 @@
+"""CN and BAD tests: exact lattice oracles + cross-validation against an
+independent host implementation of the reference semantics."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import amof_tpu.atom as amatom
+import amof_tpu.bad as ambad
+import amof_tpu.cn as amcn
+from amof_tpu.core.frames import Frame
+
+
+class TestCoordinationNumber:
+    def test_simple_cubic(self, simple_cubic_frame):
+        cn = amcn.CoordinationNumber.from_trajectory(
+            [simple_cubic_frame] * 3, {"Ar-Ar": 2.5}, delta_Step=10
+        )
+        assert list(cn.data.columns) == ["Step", "Ar-Ar"]
+        assert np.array_equal(cn.data["Step"], [0, 10, 20])
+        assert np.allclose(cn.data["Ar-Ar"], 6.0)
+
+    def test_nacl_both_directions(self, nacl_supercell_frame):
+        cn = amcn.CoordinationNumber.from_trajectory(
+            [nacl_supercell_frame], {"Na-Cl": 2.2, "Cl-Na": 2.2}
+        )
+        assert cn.data["Na-Cl"][0] == pytest.approx(6.0)
+        assert cn.data["Cl-Na"][0] == pytest.approx(6.0)
+
+    def test_zif4_zn_n(self, zif4_frame):
+        cn = amcn.CoordinationNumber.from_trajectory(
+            [zif4_frame], {"Zn-N": 2.5, "C-H": 1.35}
+        )
+        assert cn.data["Zn-N"][0] == pytest.approx(4.0)
+
+    def test_matches_host_engine(self):
+        """Device CN == host neighbor-list CN (reference semantics) on a
+        random disordered frame."""
+        rng = np.random.default_rng(42)
+        frame = Frame(
+            rng.uniform(0, 8, (60, 3)),
+            rng.choice([8, 14], 60),
+            np.eye(3) * 8.0,
+        )
+        spec = {"Si-O": 2.0, "O-O": 1.5}
+        cn = amcn.CoordinationNumber.from_trajectory([frame], spec)
+
+        # independent host computation following amof/cn.py:58-73
+        cutoff_dict = amatom.format_cutoff(spec)
+        nl = amatom.get_neighborlist(frame, cutoff_dict)
+        numbers = frame.get_atomic_numbers()
+        for nb_set in spec:
+            a, b = (
+                {"Si": 14, "O": 8}[s] for s in nb_set.split("-")
+            )
+            cn_list = [
+                np.sum(numbers[nl[i]] == b)
+                for i in range(len(frame))
+                if numbers[i] == a
+            ]
+            assert cn.data[nb_set][0] == pytest.approx(np.mean(cn_list))
+
+    def test_file_roundtrip(self, tmp_path, simple_cubic_frame):
+        cn = amcn.CoordinationNumber.from_trajectory(
+            [simple_cubic_frame], {"Ar-Ar": 2.5}
+        )
+        cn.write_to_file(tmp_path / "t")
+        back = amcn.CoordinationNumber.from_file(tmp_path / "t")
+        assert np.allclose(back.data, cn.data)
+
+
+def host_bad_reference(frames, nb_set_and_cutoff, dtheta):
+    """Independent host implementation of the reference BAD semantics
+    (amof/bad.py:71-160) used as oracle: neighbor lists + min-image
+    angles + one density histogram over all frames."""
+    from amof_tpu.data import elements as el
+
+    cutoff_dict = amatom.format_cutoff(nb_set_and_cutoff)
+    unique = sorted(set(frames[0].get_atomic_numbers().tolist()))
+    present = sorted(
+        {el.atomic_numbers[s] for k in nb_set_and_cutoff for s in k.split("-")}
+    )
+    epu = list(present)
+    if len(epu) == len(unique):
+        epu.append("X")
+    pairs = [
+        (a, b) for b in epu for a in epu
+        if (a not in [b, "X"] or ((a, b) == ("X", "X")))
+    ]
+    bins = int(180 // dtheta)
+    theta_bins = np.arange(bins + 2) * dtheta
+    out = {}
+    for A, B in pairs:
+        sym = lambda x: "X" if x == "X" else el.symbol_of(x)
+        name = "-".join([sym(B), sym(A), sym(B)])
+        angles = []
+        for frame in frames:
+            nl = amatom.get_neighborlist(frame, cutoff_dict)
+            numbers = frame.get_atomic_numbers()
+            for a_idx in range(len(numbers)):
+                if A == "X" or numbers[a_idx] == A:
+                    nbrs = [
+                        j for j in nl[a_idx] if B == "X" or numbers[j] == B
+                    ]
+                    triplets = [
+                        [i, a_idx, j] for i, j in itertools.combinations(nbrs, 2)
+                    ]
+                    if triplets:
+                        angles += list(frame.get_angles(triplets, mic=True))
+        if angles:
+            out[name] = np.histogram(angles, bins=theta_bins, density=True)[0]
+    return out
+
+
+class TestBad:
+    def test_simple_cubic_angles(self, simple_cubic_frame):
+        bad = ambad.Bad.from_trajectory(
+            [simple_cubic_frame], {"Ar-Ar": 2.5}, dtheta=1.0
+        )
+        d = bad.data
+        col = "X-X-X"
+        assert col in d.columns
+        # peaks at 90 (12 pairs/atom) and 180 (3 pairs/atom), ratio 4:1
+        v90 = d[col][(d["theta"] > 89) & (d["theta"] < 91)].sum()
+        v180 = d[col][d["theta"] > 179].sum()
+        assert v90 > 0 and v180 > 0
+        assert v90 / v180 == pytest.approx(4.0, rel=1e-3)
+        # density normalization: integral over theta == 1
+        assert np.sum(d[col]) * 1.0 == pytest.approx(1.0, rel=1e-6)
+
+    def test_matches_host_reference(self):
+        rng = np.random.default_rng(7)
+        numbers = rng.choice([8, 14], 40)  # species static across frames
+        frames = [
+            Frame(rng.uniform(0, 7, (40, 3)), numbers, np.eye(3) * 7.0)
+            for _ in range(2)
+        ]
+        spec = {"Si-O": 2.2}
+        dtheta = 2.0
+        bad = ambad.Bad.from_trajectory(frames, spec, dtheta=dtheta)
+        ref = host_bad_reference(frames, spec, dtheta)
+        assert set(ref.keys()) <= set(bad.data.columns)
+        for name, hist in ref.items():
+            assert np.allclose(bad.data[name], hist, atol=1e-6), name
+
+    def test_zif4_tetrahedral(self, zif4_frame):
+        bad = ambad.Bad.from_trajectory(
+            [zif4_frame], {"Zn-N": 2.5}, dtheta=0.5
+        )
+        d = bad.data
+        assert "N-Zn-N" in d.columns
+        # each N bonds exactly one Zn, so no Zn-N-Zn angle exists and the
+        # column is dropped (reference drops empty angle lists too,
+        # amof/bad.py:159)
+        assert "Zn-N-Zn" not in d.columns
+        peak_theta = d["theta"][d["N-Zn-N"].idxmax()]
+        assert 100 < peak_theta < 120  # tetrahedral ~109.5
+        total = d["N-Zn-N"].sum() * 0.5
+        assert total == pytest.approx(1.0, rel=1e-6)
+
+    def test_file_roundtrip(self, tmp_path, simple_cubic_frame):
+        bad = ambad.Bad.from_trajectory(
+            [simple_cubic_frame], {"Ar-Ar": 2.5}, dtheta=1.0
+        )
+        bad.write_to_file(tmp_path / "t")
+        back = ambad.Bad.from_file(tmp_path / "t")
+        assert np.allclose(back.data, bad.data)
+
+    def test_overflow_retry(self):
+        """Dense cluster exceeding the initial neighbor capacity of 16
+        must retry, not truncate."""
+        rng = np.random.default_rng(0)
+        frame = Frame(
+            rng.uniform(0, 4.0, (64, 3)), np.full(64, 18), np.eye(3) * 4.0
+        )
+        bad = ambad.Bad.from_trajectory([frame], {"Ar-Ar": 2.4}, dtheta=5.0)
+        # every atom has ~20+ neighbors; histogram must integrate to 1
+        assert np.sum(bad.data["X-X-X"]) * 5.0 == pytest.approx(1.0, rel=1e-6)
+
+
+class TestBadByCn:
+    def test_simple_cubic_single_cn(self, simple_cubic_frame):
+        bad = ambad.BadByCn.from_trajectory(
+            [simple_cubic_frame], {"Ar-Ar": 2.5}, dtheta=1.0
+        )
+        arr = bad.data["bad"]
+        assert "atom_triple" in arr.dims and "cn" in arr.dims
+        assert np.array_equal(arr.get_coord("cn"), [6])
+        sub = arr.sel(atom_triple="X-X-X", cn=6)
+        assert np.nansum(sub.values) * 1.0 == pytest.approx(1.0, rel=1e-6)
+
+    def test_partial_normalization(self):
+        """Two Xe centers with cn 2 and 3: partial weights proportional to
+        angle counts (1 vs 3), summing to overall area 1."""
+        positions = [
+            [2, 2, 2], [4, 2, 2],      # center A (cn 2 incl other center? no - species)
+        ]
+        # build: center atoms Kr, outer atoms Ar; one Kr with 2 Ar, one with 3
+        pos = [[3, 3, 3], [3, 3, 4.2], [3, 3, 1.8],          # Kr + 2 Ar
+               [9, 9, 9], [9, 9, 10.2], [9, 9, 7.8], [9, 10.2, 9]]  # Kr + 3 Ar
+        numbers = [36, 18, 18, 36, 18, 18, 18]
+        frame = Frame(pos, numbers, np.eye(3) * 14.0)
+        bad = ambad.BadByCn.from_trajectory(
+            [frame], {"Kr-Ar": 1.5}, dtheta=5.0, normalization="partial"
+        )
+        arr = bad.data["bad"]
+        sub = arr.sel(atom_triple="Ar-Kr-Ar")
+        assert set(sub.get_coord("cn").tolist()) == {2, 3}
+        a2 = np.nansum(sub.sel(cn=2).values) * 5.0
+        a3 = np.nansum(sub.sel(cn=3).values) * 5.0
+        assert a2 == pytest.approx(0.25, rel=1e-6)  # 1 of 4 angles
+        assert a3 == pytest.approx(0.75, rel=1e-6)  # 3 of 4 angles
+
+    def test_netcdf_roundtrip(self, tmp_path, simple_cubic_frame):
+        bad = ambad.BadByCn.from_trajectory(
+            [simple_cubic_frame], {"Ar-Ar": 2.5}, dtheta=1.0
+        )
+        bad.write_to_file(tmp_path / "t")
+        back = ambad.BadByCn.from_file(tmp_path / "t")
+        assert back.data["bad"].allclose(bad.data["bad"], equal_nan=True)
