@@ -1,0 +1,167 @@
+"""Elastic / ELATE tests: isotropic-material closed forms, statistical
+recovery of a known stiffness from synthetic cell fluctuations,
+round-trips."""
+
+import numpy as np
+import pytest
+
+from amof_tpu.elastic import Elastic, ElasticConstant, MechanicalProperties, print_Cmat
+from amof_tpu.elastic.elate import ElasticOrtho
+
+
+def isotropic_C(lam=50.0, mu=30.0):
+    """Isotropic stiffness in GPa from Lame parameters."""
+    C = np.zeros((6, 6))
+    C[:3, :3] = lam
+    C[np.arange(3), np.arange(3)] = lam + 2 * mu
+    C[np.arange(3, 6), np.arange(3, 6)] = mu
+    return C
+
+
+class TestElate:
+    def test_isotropic_averages(self):
+        lam, mu = 50.0, 30.0
+        el = Elastic(isotropic_C(lam, mu).tolist())
+        K = lam + 2 * mu / 3
+        G = mu
+        E = 9 * K * G / (3 * K + G)
+        nu = (3 * K - 2 * G) / (2 * (3 * K + G))
+        for row in el.averages():  # voigt == reuss == hill for isotropic
+            assert row[0] == pytest.approx(K, rel=1e-10)
+            assert row[1] == pytest.approx(E, rel=1e-10)
+            assert row[2] == pytest.approx(G, rel=1e-10)
+            assert row[3] == pytest.approx(nu, rel=1e-10)
+
+    def test_isotropic_directional_constant(self):
+        lam, mu = 50.0, 30.0
+        el = Elastic(isotropic_C(lam, mu))
+        K = lam + 2 * mu / 3
+        E = 9 * K * mu / (3 * K + mu)
+        for theta, phi in [(0.3, 0.7), (1.2, 2.9), (np.pi / 2, 0.0)]:
+            assert el.Young((theta, phi)) == pytest.approx(E, rel=1e-9)
+            assert el.shear((theta, phi, 0.8)) == pytest.approx(mu, rel=1e-9)
+            # LC = 1000/(3K) per direction for isotropic
+            assert el.LC((theta, phi)) == pytest.approx(1000 / (3 * K), rel=1e-9)
+        lo, hi = el.extrema("Young")
+        assert lo == pytest.approx(hi, rel=1e-6)
+
+    def test_poisson_isotropic(self):
+        el = Elastic(isotropic_C())
+        K, G = 70.0, 30.0
+        nu = (3 * K - 2 * G) / (2 * (3 * K + G))
+        assert el.Poisson((0.4, 1.1, 0.2)) == pytest.approx(nu, rel=1e-9)
+        lo, zero, hi = el.Poisson2D((0.4, 1.1))
+        assert hi == pytest.approx(nu, rel=1e-3)
+
+    def test_parsing_forms(self):
+        C = isotropic_C()
+        as_str = "\n".join(" ".join(str(v) for v in row) for row in C)
+        upper = [list(C[i, i:]) for i in range(6)]
+        for form in [C, C.tolist(), as_str, upper]:
+            el = Elastic(form)
+            assert np.allclose(el.CVoigt, C)
+        with pytest.raises(ValueError):
+            Elastic(np.zeros((6, 6)))  # singular
+        with pytest.raises(ValueError):
+            Elastic("1 2 3")
+
+    def test_cubic_predicates(self):
+        el = Elastic(isotropic_C())
+        assert el.isOrthorhombic() and el.isCubic()
+        ortho = ElasticOrtho(el)
+        assert np.allclose(ortho.CVoigt, el.CVoigt)
+
+    def test_shear3d_isotropic(self):
+        el = Elastic(isotropic_C())
+        lo, hi, _, _ = el.shear3D(0.5, 0.5)
+        assert lo == pytest.approx(30.0, rel=1e-3)
+        assert hi == pytest.approx(30.0, rel=1e-3)
+
+
+class TestElasticConstant:
+    def test_pure_strain_epsilon(self):
+        """h = (I + e) h0 with small symmetric e gives eps ~ e."""
+        h0 = np.diag([10.0, 11.0, 12.0])
+        e = np.array([[0.001, 0.0002, 0], [0.0002, -0.0005, 0.0001],
+                      [0, 0.0001, 0.002]])
+        h1 = h0 @ (np.eye(3) + e)  # row-vector cells: h' = h0 (I + e)
+        ec = ElasticConstant()
+        ec.set_h([h0, h1])
+        ec.set_epsilons()
+        assert np.allclose(ec.epsilons[0], 0, atol=1e-12)
+        assert np.allclose(ec.epsilons[1], e, atol=5e-6)
+
+    def test_recovers_known_compliance(self):
+        """Sample Voigt strains from the Gaussian the fluctuation formula
+        inverts; from_cell must recover C."""
+        rng = np.random.default_rng(0)
+        C = isotropic_C(40.0, 25.0) * 1e9  # Pa
+        S = np.linalg.inv(C)
+        T = 300.0
+        h0 = np.eye(3) * 20.0
+        V = 20.0**3 * 1e-30
+        kB = 1.3806488e-23
+        cov = S * kB * T / V  # covariance of engineering Voigt strains
+        n = 40000
+        eng = rng.multivariate_normal(np.zeros(6), cov, size=n)  # engineering
+        # tensor strain: off-diagonals are half the engineering strain
+        eps = np.zeros((n, 3, 3))
+        eps[:, 0, 0], eps[:, 1, 1], eps[:, 2, 2] = eng[:, 0], eng[:, 1], eng[:, 2]
+        eps[:, 1, 2] = eps[:, 2, 1] = eng[:, 3] / 2
+        eps[:, 0, 2] = eps[:, 2, 0] = eng[:, 4] / 2
+        eps[:, 0, 1] = eps[:, 1, 0] = eng[:, 5] / 2
+        # build cells with h^T h = h0^T (I + 2 eps) h0 via symmetric sqrt
+        cells = [h0]
+        for k in range(n):
+            w, v = np.linalg.eigh(np.eye(3) + 2 * eps[k])
+            sqrtm = (v * np.sqrt(w)) @ v.T
+            cells.append(sqrtm @ h0)
+        ec = ElasticConstant.from_cell(cells, T, final_value=True)
+        C_est = np.asarray(ec.Cmat.values)  # GPa
+        C_true = C / 1e9
+        assert np.allclose(np.diag(C_est), np.diag(C_true), rtol=0.1)
+        assert C_est[0, 1] == pytest.approx(C_true[0, 1], rel=0.15)
+        assert abs(C_est[0, 3]) < 5.0  # zero couplings stay small
+
+    def test_every_C_shapes_and_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(1)
+        h0 = np.eye(3) * 15.0
+        cells = [h0 + rng.normal(0, 0.02, (3, 3)) for _ in range(50)]
+        cells[0] = h0
+        ec = ElasticConstant.from_cell(cells, 300.0, step=np.arange(50))
+        arr = ec.Cmat
+        assert arr.dims == ("Step", "col", "row")
+        assert arr.shape[1:] == (6, 6)
+        assert arr.shape[0] <= 50  # non-invertible leading steps pruned
+        ec.write(tmp_path / "t")
+        back = ElasticConstant.from_file(tmp_path / "t")
+        assert back.Cmat.allclose(arr)
+
+    def test_cellpar_input_accepted(self):
+        """from_cell accepts 6-parameter cell rows (ASE set_cell parity)."""
+        rng = np.random.default_rng(2)
+        cells = [
+            [10 + rng.normal(0, 0.01), 10 + rng.normal(0, 0.01),
+             10 + rng.normal(0, 0.01), 90 + rng.normal(0, 0.05),
+             90 + rng.normal(0, 0.05), 90 + rng.normal(0, 0.05)]
+            for _ in range(30)
+        ]
+        ec = ElasticConstant.from_cell(cells, 300.0, final_value=True)
+        assert ec.Cmat.shape == (6, 6)
+
+
+class TestMechanicalProperties:
+    def test_from_elastic_and_roundtrip(self, tmp_path):
+        mp = MechanicalProperties.from_elastic(isotropic_C().tolist())
+        df = mp.data
+        assert list(df.index) == ["voigt", "reuss", "hill"]
+        assert df.loc["hill", "shear_modulus"] == pytest.approx(30.0)
+        mp.write(tmp_path / "t")
+        back = MechanicalProperties.from_file(tmp_path / "t")
+        assert np.allclose(back.data, df)
+
+    def test_print_cmat_smoke(self, capsys):
+        print_Cmat(isotropic_C())
+        out = capsys.readouterr().out
+        assert "Stiffness matrix C (GPa):" in out
+        assert "eigenvalues" in out
