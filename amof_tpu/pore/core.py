@@ -1,0 +1,96 @@
+"""
+Pore analysis over a trajectory.
+
+API parity with amof/pore/core.py: ``Pore.from_trajectory(traj,
+delta_Step, first_frame, parallel)`` :33 producing a DataFrame with one
+row per frame holding the Zeo++ ``-sa``/``-vol`` output fields (ASA/NASA
+in Å^2, m^2/cm^3, m^2/g; AV/NAV in Å^3, volume fraction, cm^3/g —
+the fields parsed at :70-82), and the '.pore' feather round-trip
+:104-121. Frames whose analysis fails are dropped with a warning, the
+analog of the reference's Zeo++-timeout frame drop (:99-101).
+
+The Zeo++ subprocess is replaced by the in-process device analysis in
+amof_tpu.pore.zeopp (distance grid + periodic flood fill).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+
+import amof_tpu.files.path
+import amof_tpu.trajectory
+from amof_tpu.core.frames import as_frames
+from amof_tpu.pore import zeopp
+
+logger = logging.getLogger(__name__)
+
+
+class Pore:
+    """Probe-accessible surface and volume per frame."""
+
+    def __init__(self):
+        self.data = pd.DataFrame({"Step": np.empty([0])})
+
+    @classmethod
+    def from_trajectory(cls, trajectory, delta_Step=1, first_frame=0,
+                        parallel=False, **kwargs):
+        """kwargs are forwarded to zeopp.analyze_frame (probe_radius,
+        chan_radius, num_samples, radii, resolution, ...)."""
+        pore_class = cls()
+        frames = as_frames(trajectory)
+        step = amof_tpu.trajectory.construct_step(
+            delta_Step=delta_Step, first_frame=first_frame,
+            number_of_frames=len(frames),
+        )
+        pore_class.compute_surface_volume(frames, step, parallel, **kwargs)
+        return pore_class
+
+    def compute_surface_volume(self, frames, step, parallel=False, **kwargs):
+        del parallel  # frames run sequentially on device; batching TBD
+        logger.info(
+            "Start pore analysis for volume and surfaces for %s frames",
+            len(frames),
+        )
+        list_of_dict = []
+        for i, frame in enumerate(frames):
+            logger.debug("compute frame # %s out of %s", i + 1, len(frames))
+            dic = self.get_surface_volume(frame, step[i], **kwargs)
+            if dic is not None:
+                list_of_dict.append(dic)
+        if list_of_dict:
+            self.data = pd.DataFrame(list_of_dict)
+
+    @staticmethod
+    def get_surface_volume(frame, step, **kwargs):
+        """Analyze one frame; None on failure (frame dropped, parity with
+        the reference's timeout handling)."""
+        try:
+            result = zeopp.analyze_frame(frame, sa=True, vol=True, **kwargs)
+        except Exception:
+            logger.warning(
+                "Pore analysis failed. System size: %s; Step: %s",
+                frame.get_global_number_of_atoms(), step, exc_info=True,
+            )
+            return None
+        dic = {"Step": step}
+        dic.update(
+            {k: v for k, v in result.items() if np.isscalar(v)}
+        )
+        return dic
+
+    def write_to_file(self, filename):
+        filename = amof_tpu.files.path.append_suffix(filename, "pore")
+        self.data.to_feather(filename)
+
+    @classmethod
+    def from_file(cls, filename):
+        pore_class = cls()
+        pore_class.read_surface_volume_file(filename)
+        return pore_class
+
+    def read_surface_volume_file(self, filename):
+        filename = amof_tpu.files.path.append_suffix(filename, "pore")
+        self.data = pd.read_feather(filename)

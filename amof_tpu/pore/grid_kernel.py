@@ -1,0 +1,271 @@
+"""
+On-device pore geometry: distance grid, periodic flood fill, percolation.
+
+This is the TPU-native replacement for the Zeo++ ``network`` binary's
+Voronoi/MC analysis (amof/pore/pysimmzeopp.py; SURVEY.md §2 native
+checklist #3). Pipeline per frame:
+
+  1. rasterize the cell into a voxel grid and compute the distance field
+     d(x) = min_i (|x - r_i|_mic - R_i)  (distance to the nearest atom
+     surface; triclinic minimum image);
+  2. probe-fit mask  M_r = { d >= r_probe }  (positions where the probe
+     center can sit);
+  3. connected-component labeling of M_r with 6-connectivity, twice:
+     once open (no wrap) and once periodic;
+  4. percolation: an open component that touches itself across a
+     periodic face has winding number != 0 — it is an infinite channel.
+     Channel status is then propagated through periodic connectivity, so
+     every void voxel is classified accessible (channel-connected) or
+     non-accessible (isolated pocket) — Zeo++'s ASA/NASA / AV/NAV split.
+
+Everything is shape-static (grid dims fixed per trajectory) and runs
+under jit; the flood fill is a lax.while_loop of masked max-propagation
+steps (8 sweeps per convergence check).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from amof_tpu.ops.pair_engine import matvec3
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "chunk"))
+def distance_grid(frac_atoms, cell, radii, grid, chunk=65536):
+    """Distance-to-nearest-atom-surface field on a fractional voxel grid.
+
+    Args:
+        frac_atoms: f32[N, 3] fractional atom positions (may include
+            padding rows with radius -inf ... use radius -1e9 to ignore).
+        cell: f32[3, 3] lattice (row vectors).
+        radii: f32[N] atom radii (Å); use -1e9 for padding rows.
+        grid: (Gx, Gy, Gz) static voxel counts.
+
+    Returns:
+        f32[Gx, Gy, Gz] distance field in Å.
+    """
+    gx, gy, gz = grid
+    n_vox = gx * gy * gz
+    ii = (jnp.arange(gx) + 0.5) / gx
+    jj = (jnp.arange(gy) + 0.5) / gy
+    kk = (jnp.arange(gz) + 0.5) / gz
+    vf = jnp.stack(jnp.meshgrid(ii, jj, kk, indexing="ij"), axis=-1).reshape(
+        n_vox, 3
+    )
+
+    def chunk_min(c0):
+        v = jax.lax.dynamic_slice(vf, (c0, 0), (chunk, 3))  # [C, 3]
+        df = v[:, None, :] - frac_atoms[None, :, :]  # [C, N, 3]
+        df = df - jnp.floor(df + 0.5)
+        dc = matvec3(df, cell)
+        d = jnp.sqrt(jnp.sum(dc * dc, axis=-1)) - radii[None, :]
+        return jnp.min(d, axis=1)
+
+    pad = (-n_vox) % chunk
+    if pad:
+        vf = jnp.concatenate([vf, jnp.zeros((pad, 3), vf.dtype)], axis=0)
+    starts = jnp.arange(0, n_vox + pad, chunk)
+    d = jax.lax.map(chunk_min, starts).reshape(-1)[:n_vox]
+    return d.reshape(gx, gy, gz)
+
+
+def _neighbor_max(labels, mask, periodic: bool):
+    """One 6-neighbor max-propagation sweep over the masked region."""
+    out = labels
+    for axis in range(3):
+        for shift in (1, -1):
+            rolled = jnp.roll(labels, shift, axis=axis)
+            if not periodic:
+                # zero out the contribution that wrapped around
+                idx = 0 if shift == 1 else labels.shape[axis] - 1
+                rolled = _set_slice(rolled, axis, idx, -1)
+            out = jnp.maximum(out, rolled)
+    return jnp.where(mask, out, -1)
+
+
+def _set_slice(arr, axis, idx, value):
+    sl = [slice(None)] * 3
+    sl[axis] = idx
+    return arr.at[tuple(sl)].set(value)
+
+
+@functools.partial(jax.jit, static_argnames=("periodic", "sweeps"))
+def label_components(mask, periodic: bool = True, sweeps: int = 8):
+    """Connected-component labels of a 3-d boolean mask (6-connectivity).
+
+    Labels are voxel linear indices propagated to their component max;
+    -1 outside the mask. ``periodic`` toggles wrap-around adjacency.
+    """
+    gx, gy, gz = mask.shape
+    init = jnp.where(
+        mask, jnp.arange(gx * gy * gz, dtype=jnp.int32).reshape(mask.shape), -1
+    )
+
+    def cond(state):
+        labels, changed = state
+        return changed
+
+    def body(state):
+        labels, _ = state
+        new = labels
+        for _ in range(sweeps):
+            new = _neighbor_max(new, mask, periodic)
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True)))
+    return labels
+
+
+@jax.jit
+def percolating_flags(open_labels, mask):
+    """Per-voxel flag: does this voxel's OPEN component wind around any
+    periodic axis? (same open label adjacent across a periodic face
+    => infinite channel)."""
+    n = open_labels.size
+    flag = jnp.zeros(n + 1, jnp.bool_)
+
+    for axis in range(3):
+        sl_last = [slice(None)] * 3
+        sl_last[axis] = -1
+        sl_first = [slice(None)] * 3
+        sl_first[axis] = 0
+        a = open_labels[tuple(sl_last)].reshape(-1)
+        b = open_labels[tuple(sl_first)].reshape(-1)
+        wins = (a == b) & (a >= 0)
+        flag = flag.at[jnp.where(wins, a, n)].max(wins)
+    return flag[open_labels.reshape(-1)].reshape(open_labels.shape) & mask
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps",))
+def propagate_channel(channel_seed, mask, sweeps: int = 8):
+    """Extend channel membership through periodic connectivity so every
+    voxel periodically connected to a winding component is accessible."""
+    seed = jnp.where(channel_seed, 1, jnp.where(mask, 0, -1)).astype(jnp.int32)
+
+    def cond(state):
+        labels, changed = state
+        return changed
+
+    def body(state):
+        labels, _ = state
+        new = labels
+        for _ in range(sweeps):
+            new = _neighbor_max(new, mask, True)
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(cond, body, (seed, jnp.array(True)))
+    return labels == 1
+
+
+def void_classification(dist, r_probe):
+    """(mask, accessible, pocket) voxel masks for a probe radius."""
+    mask = dist >= r_probe
+    open_labels = label_components(mask, periodic=False)
+    winding = percolating_flags(open_labels, mask)
+    accessible = propagate_channel(winding, mask)
+    pocket = mask & ~accessible
+    return mask, accessible, pocket
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def dilate(mask, steps: int):
+    """Periodic 6-neighbor dilation (octahedral structuring element)."""
+    out = mask
+    for _ in range(steps):
+        grown = out
+        for axis in range(3):
+            for shift in (1, -1):
+                grown = grown | jnp.roll(out, shift, axis=axis)
+        out = grown
+    return out
+
+
+def fibonacci_sphere(n: int) -> np.ndarray:
+    """n quasi-uniform unit vectors (deterministic surface sampling —
+    replaces Zeo++'s per-atom MC surface sampling)."""
+    i = np.arange(n) + 0.5
+    phi = np.pi * (1 + 5**0.5) * i
+    cos_t = 1 - 2 * i / n
+    sin_t = np.sqrt(np.maximum(0, 1 - cos_t**2))
+    return np.stack(
+        [sin_t * np.cos(phi), sin_t * np.sin(phi), cos_t], axis=-1
+    ).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "chunk"))
+def surface_point_classification(
+    frac_atoms,  # f32[N, 3]
+    cell,  # f32[3, 3]
+    radii,  # f32[N] (-1e9 for padding rows)
+    r_probe,
+    dirs,  # f32[K, 3] unit vectors (Fibonacci sphere)
+    accessible,  # bool[Gx, Gy, Gz]
+    pocket,  # bool[Gx, Gy, Gz]
+    grid,
+    chunk: int = 32,
+):
+    """Per-atom accessible / non-accessible surface-point counts.
+
+    For each atom i, sample K points on the sphere of radius R_i+r_probe;
+    a point is on the (probe-center) surface iff it lies outside every
+    other atom's R_j+r_probe sphere (Zeo++'s ASA construction, sampled
+    deterministically instead of by MC). Surface points are classified
+    accessible/non-accessible by the void voxel they (or their outward
+    nudge) fall into.
+
+    Returns:
+        (acc_counts i32[N], nacc_counts i32[N])
+    """
+    gx, gy, gz = grid
+    n = frac_atoms.shape[0]
+    k = dirs.shape[0]
+    inv_cell = jnp.linalg.inv(cell)
+    gvec = jnp.array([gx, gy, gz])
+
+    pad = (-n) % chunk
+    if pad:
+        frac_atoms = jnp.concatenate(
+            [frac_atoms, jnp.zeros((pad, 3), frac_atoms.dtype)]
+        )
+        radii = jnp.concatenate([radii, jnp.full((pad,), -1e9, radii.dtype)])
+    n_pad = n + pad
+
+    def lookup(field, frac_pts):
+        f = frac_pts - jnp.floor(frac_pts)
+        idx = jnp.minimum((f * gvec).astype(jnp.int32), gvec - 1)
+        return field[idx[..., 0], idx[..., 1], idx[..., 2]]
+
+    def chunk_counts(i0):
+        fa = jax.lax.dynamic_slice(frac_atoms, (i0, 0), (chunk, 3))
+        ra = jax.lax.dynamic_slice(radii, (i0,), (chunk,))
+        centers = matvec3(fa, cell)  # [C, 3]
+        pts = centers[:, None, :] + (ra[:, None, None] + r_probe) * dirs[None]
+        # distance from each point to every atom surface (excluding self)
+        fp = matvec3(pts, inv_cell)  # [C, K, 3] fractional
+        df = fp[:, :, None, :] - frac_atoms[None, None, :, :]
+        df = df - jnp.floor(df + 0.5)
+        dc = matvec3(df, cell)
+        d = jnp.sqrt(jnp.sum(dc * dc, axis=-1)) - (radii[None, None, :] + r_probe)
+        gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, k, n_pad), 0)
+        gj = jax.lax.broadcasted_iota(jnp.int32, (chunk, k, n_pad), 2)
+        d = jnp.where((gi == gj) | (radii[None, None, :] < -1e8), jnp.inf, d)
+        valid = (jnp.min(d, axis=-1) > -1e-4) & (ra[:, None] > -1e8)
+
+        # classify by the voxel of the point and of a small outward nudge
+        nudge = fp + matvec3(dirs[None] * 0.2, inv_cell)
+        acc = lookup(accessible, fp) | lookup(accessible, nudge)
+        poc = lookup(pocket, fp) | lookup(pocket, nudge)
+        acc_pt = valid & acc
+        nacc_pt = valid & ~acc & poc
+        return (
+            jnp.sum(acc_pt, axis=1).astype(jnp.int32),
+            jnp.sum(nacc_pt, axis=1).astype(jnp.int32),
+        )
+
+    starts = jnp.arange(0, n_pad, chunk)
+    acc, nacc = jax.lax.map(chunk_counts, starts)
+    return acc.reshape(-1)[:n], nacc.reshape(-1)[:n]

@@ -1,0 +1,229 @@
+"""
+In-process Zeo++-equivalent pore analysis.
+
+First-class replacement for the ``network`` binary subprocess the
+reference shells out to (amof/pore/pysimmzeopp.py:52-158): same options
+(ha/res/chan/sa/vol/psd/volpo), same defaults (probe_radius 1.2,
+chan_radius 1.2, num_samples 50000 — :93-95), same output fields as the
+.sa/.vol/.res files the reference parses (amof/pore/core.py:70-82),
+but computed on device from a distance grid + periodic flood fill
+instead of a Voronoi network (see grid_kernel docstring):
+
+  -sa  -> ASA_A^2, ASA_m^2/cm^3, ASA_m^2/g, NASA_* (per-atom sphere
+          sampling classified by void accessibility)
+  -vol -> AV_A^3, AV_Volume_fraction, AV_cm^3/g, NAV_* (voxel
+          integration of the probe-fit region; deterministic grid
+          integration converges to the Zeo++ MC values — the contract
+          is converged-value agreement, SURVEY.md §7 hard parts)
+  -res -> Included_diameter, Free_diameter, Included_along_free
+          (2*max d; percolation-threshold bisection; max d over the
+          percolating region at threshold)
+  -psd -> pore-size histogram = -dAV/dr over probe radius, 1000 bins of
+          0.1 Å (the semantics documented at pysimmzeopp.py:76)
+  -volpo -> POAV_*: probe-occupiable volume = {d >= 0} voxels within
+          r_probe of a probe-center voxel, split by accessibility
+  -chan -> number of channels (distinct percolating components) and
+          their dimensionality.
+
+Radii default to the Zeo++ CSD table (amof_tpu/data/elements.py),
+overridable per element (the ``-r`` radii-file option).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from amof_tpu.core import cellmath
+from amof_tpu.data import elements
+from amof_tpu.pore import grid_kernel
+
+DEFAULT_PROBE_RADIUS = 1.2
+DEFAULT_CHAN_RADIUS = 1.2
+DEFAULT_NUM_SAMPLES = 50000
+
+# unit conversions
+A2_PER_A3_TO_M2_PER_CM3 = 1.0e4
+AMU_TO_G = 1.66053906660e-24
+A2_TO_M2 = 1.0e-20
+A3_TO_CM3 = 1.0e-24
+
+
+def _grid_dims(cell, resolution):
+    lengths = np.linalg.norm(np.asarray(cell, dtype=np.float64), axis=1)
+    return tuple(int(max(8, np.ceil(l / resolution))) for l in lengths)
+
+
+def analyze_frame(
+    frame,
+    probe_radius: float = DEFAULT_PROBE_RADIUS,
+    chan_radius: float = DEFAULT_CHAN_RADIUS,
+    num_samples: int = DEFAULT_NUM_SAMPLES,
+    sa: bool = False,
+    vol: bool = False,
+    res: bool = False,
+    psd: bool = False,
+    volpo: bool = False,
+    chan: bool = False,
+    radii: Optional[Dict[str, float]] = None,
+    resolution: float = 0.2,
+    grid: Optional[tuple] = None,
+) -> Dict[str, float]:
+    """Run the requested pore analyses on one frame; returns a flat dict
+    keyed by the Zeo++ output-field names."""
+    cell = frame.get_cell().astype(np.float32)
+    volume = cellmath.volume(cell)
+    mass_amu = float(np.sum(frame.get_masses()))
+    density_g_cm3 = mass_amu * AMU_TO_G / (volume * A3_TO_CM3)
+
+    rad_table = elements.vdw_radius_array(overrides=radii)
+    atom_radii = rad_table[frame.get_atomic_numbers()].astype(np.float32)
+    frac = cellmath.cart_to_frac(frame.get_positions(), cell).astype(np.float32)
+    frac = frac - np.floor(frac)
+
+    if grid is None:
+        grid = _grid_dims(cell, resolution)
+    dist = grid_kernel.distance_grid(frac, cell, atom_radii, grid)
+    voxel_volume = volume / (grid[0] * grid[1] * grid[2])
+
+    # accessibility is defined by the channel probe (Zeo++ -sa/-vol pass
+    # chan_radius first: pysimmzeopp.py:126-128)
+    mask, accessible, pocket = grid_kernel.void_classification(dist, chan_radius)
+    if probe_radius != chan_radius:
+        fit = dist >= probe_radius
+        acc_fit = fit & accessible
+        poc_fit = fit & ~accessible
+    else:
+        fit, acc_fit, poc_fit = mask, accessible, pocket
+
+    out: Dict[str, float] = {
+        "Unitcell_volume": volume,
+        "Density": density_g_cm3,
+    }
+
+    if sa:
+        k = max(50, int(num_samples) // max(1, len(frame)))
+        dirs = grid_kernel.fibonacci_sphere(k)
+        acc_counts, nacc_counts = grid_kernel.surface_point_classification(
+            frac, cell, atom_radii, float(probe_radius), dirs,
+            accessible, pocket, grid,
+        )
+        sphere_areas = 4 * np.pi * (atom_radii + probe_radius) ** 2
+        asa = float(np.sum(sphere_areas * np.asarray(acc_counts) / k))
+        nasa = float(np.sum(sphere_areas * np.asarray(nacc_counts) / k))
+        out["ASA_A^2"] = asa
+        out["ASA_m^2/cm^3"] = asa / volume * A2_PER_A3_TO_M2_PER_CM3
+        out["ASA_m^2/g"] = asa * A2_TO_M2 / (mass_amu * AMU_TO_G)
+        out["NASA_A^2"] = nasa
+        out["NASA_m^2/cm^3"] = nasa / volume * A2_PER_A3_TO_M2_PER_CM3
+        out["NASA_m^2/g"] = nasa * A2_TO_M2 / (mass_amu * AMU_TO_G)
+
+    if vol:
+        av = float(jnp.sum(acc_fit)) * voxel_volume
+        nav = float(jnp.sum(poc_fit)) * voxel_volume
+        out["AV_A^3"] = av
+        out["AV_Volume_fraction"] = av / volume
+        out["AV_cm^3/g"] = av * A3_TO_CM3 / (mass_amu * AMU_TO_G)
+        out["NAV_A^3"] = nav
+        out["NAV_Volume_fraction"] = nav / volume
+        out["NAV_cm^3/g"] = nav * A3_TO_CM3 / (mass_amu * AMU_TO_G)
+
+    if res or chan:
+        d_np = np.asarray(dist)
+        di = 2.0 * float(d_np.max())
+        # largest free sphere: bisection on the percolation threshold
+        lo, hi = 0.0, float(d_np.max())
+        for _ in range(20):
+            mid = (lo + hi) / 2
+            _, acc_mid, _ = grid_kernel.void_classification(dist, mid)
+            if bool(jnp.any(acc_mid)):
+                lo = mid
+            else:
+                hi = mid
+        df = 2.0 * lo
+        _, acc_df, _ = grid_kernel.void_classification(dist, max(lo - 1e-6, 0))
+        dif = 2.0 * float(np.asarray(dist)[np.asarray(acc_df)].max()) if bool(
+            jnp.any(acc_df)
+        ) else 0.0
+        if res:
+            out["Included_diameter"] = di
+            out["Free_diameter"] = df
+            out["Included_along_free"] = dif
+        if chan:
+            # channels = distinct periodic components containing a
+            # winding open component, at chan_radius
+            labels = np.asarray(
+                grid_kernel.label_components(jnp.asarray(accessible), True)
+            )
+            chan_labels = np.unique(labels[np.asarray(accessible)])
+            out["Number_of_channels"] = float(len(chan_labels))
+            dims = 0
+            open_labels = grid_kernel.label_components(
+                jnp.asarray(accessible), periodic=False
+            )
+            for axis in range(3):
+                sl_last = [slice(None)] * 3
+                sl_last[axis] = -1
+                sl_first = [slice(None)] * 3
+                sl_first[axis] = 0
+                a = np.asarray(open_labels)[tuple(sl_last)].reshape(-1)
+                b = np.asarray(open_labels)[tuple(sl_first)].reshape(-1)
+                if np.any((a == b) & (a >= 0)):
+                    dims += 1
+            out["Channel_dimensionality"] = float(dims)
+
+    if psd:
+        # -dAV/dr over probe radius: histogram of distance-field values on
+        # the accessible void, 1000 bins of 0.1 Å (pysimmzeopp.py:76)
+        d_acc = np.asarray(dist)[np.asarray(acc_fit)]
+        hist, edges = np.histogram(
+            2.0 * d_acc, bins=np.arange(0, 100.1, 0.1)
+        )
+        out["PSD_bin_A"] = edges[:-1]
+        out["PSD_dAV_A^3"] = hist * voxel_volume
+
+    if volpo:
+        # probe-occupiable volume: every void voxel within probe_radius
+        # of a probe-center voxel (dilation of the fit region by the
+        # probe ball, approximated by 6-neighbor sweeps), split by
+        # accessibility of the seeding centers
+        steps = [
+            int(np.ceil(probe_radius / (np.linalg.norm(cell[k]) / grid[k])))
+            for k in range(3)
+        ]
+        n_sweeps = max(steps)
+        occ = dist >= 0
+        po_acc = grid_kernel.dilate(acc_fit, n_sweeps) & occ
+        po_nacc = grid_kernel.dilate(poc_fit, n_sweeps) & occ & ~po_acc
+        poav = float(jnp.sum(po_acc)) * voxel_volume
+        ponav = float(jnp.sum(po_nacc)) * voxel_volume
+        out["POAV_A^3"] = poav
+        out["POAV_Volume_fraction"] = poav / volume
+        out["POAV_cm^3/g"] = poav * A3_TO_CM3 / (mass_amu * AMU_TO_G)
+        out["PONAV_A^3"] = ponav
+        out["PONAV_Volume_fraction"] = ponav / volume
+        out["PONAV_cm^3/g"] = ponav * A3_TO_CM3 / (mass_amu * AMU_TO_G)
+
+    return out
+
+
+def network(frame_or_file, **kwargs) -> Dict[str, float]:
+    """Drop-in functional replacement for pysimm-style
+    ``network(input, sa=True, vol=True, ...)`` — but in-process: takes a
+    Frame (or an xyz file path) and returns the result dict instead of
+    writing .sa/.vol files (parity: amof/pore/pysimmzeopp.py:52-158)."""
+    frame = frame_or_file
+    if isinstance(frame_or_file, str):
+        from amof_tpu.io.xyz import read_xyz
+
+        frame = read_xyz(frame_or_file, 0)
+    # translate pysimm kwarg names
+    kwargs.pop("ha", None)  # grid resolution already 'high accuracy'
+    kwargs.pop("atype_name", None)
+    if "radii" in kwargs and isinstance(kwargs["radii"], str):
+        raise ValueError(
+            "radii files are not supported; pass a {symbol: radius} dict"
+        )
+    return analyze_frame(frame, **kwargs)

@@ -1,0 +1,168 @@
+"""Pore tests: analytic oracles (empty/full boxes, isolated cavity,
+percolating channel) for the Zeo++-equivalent grid analysis."""
+
+import numpy as np
+import pytest
+
+import amof_tpu.pore as ampore
+from amof_tpu.core.frames import Frame
+from amof_tpu.pore import grid_kernel, zeopp
+
+
+def single_atom_frame(box=14.0, z=18):
+    return Frame([[box / 2] * 3], [z], np.eye(3) * box)
+
+
+class TestGridKernel:
+    def test_distance_grid_single_atom(self):
+        f = single_atom_frame(box=10.0)
+        frac = np.array([[0.5, 0.5, 0.5]], np.float32)
+        radii = np.array([1.88], np.float32)  # Ar vdW
+        dist = np.asarray(
+            grid_kernel.distance_grid(
+                frac, f.cell.astype(np.float32), radii, (20, 20, 20)
+            )
+        )
+        # voxel at the atom center: d = -r
+        assert dist[10, 10, 10] == pytest.approx(-1.88 + 0.25 * np.sqrt(3) / 2, abs=0.3)
+        # corner voxel (min image): distance ~ sqrt(3)*5 - r
+        assert dist[0, 0, 0] == pytest.approx(
+            np.sqrt(3 * (5 - 0.25) ** 2) - 1.88, abs=0.01
+        )
+
+    def test_labels_and_percolation_slab(self):
+        """A void slab percolates in two axes; a sealed cavity does not."""
+        mask = np.zeros((16, 16, 16), bool)
+        mask[:, :, 4:8] = True  # slab: percolates in x and y
+        mask[4:6, 4:6, 12:14] = True  # isolated pocket
+        mask_j = np.asarray(mask)
+        open_labels = grid_kernel.label_components(mask_j, periodic=False)
+        winding = np.asarray(grid_kernel.percolating_flags(open_labels, mask_j))
+        acc = np.asarray(grid_kernel.propagate_channel(winding, mask_j))
+        assert acc[0, 0, 5]  # slab accessible
+        assert not acc[4, 4, 12]  # pocket not
+        assert acc.sum() == 16 * 16 * 4
+
+    def test_pocket_straddling_boundary_not_percolating(self):
+        """A pocket crossing the periodic boundary is connected through it
+        but has no winding path — must stay non-accessible."""
+        mask = np.zeros((12, 12, 12), bool)
+        mask[0:2, 5:7, 5:7] = True
+        mask[10:12, 5:7, 5:7] = True  # same pocket via x-boundary
+        m = np.asarray(mask)
+        open_labels = grid_kernel.label_components(m, periodic=False)
+        winding = np.asarray(grid_kernel.percolating_flags(open_labels, m))
+        acc = np.asarray(grid_kernel.propagate_channel(winding, m))
+        assert not acc.any()
+
+    def test_full_column_percolates(self):
+        mask = np.zeros((10, 10, 10), bool)
+        mask[3, 4, :] = True  # full z column
+        acc = np.asarray(
+            grid_kernel.propagate_channel(
+                np.asarray(
+                    grid_kernel.percolating_flags(
+                        grid_kernel.label_components(np.asarray(mask), False),
+                        np.asarray(mask),
+                    )
+                ),
+                np.asarray(mask),
+            )
+        )
+        assert acc[3, 4, 0] and acc.sum() == 10
+
+    def test_dilate(self):
+        m = np.zeros((8, 8, 8), bool)
+        m[4, 4, 4] = True
+        out = np.asarray(grid_kernel.dilate(np.asarray(m), 1))
+        assert out.sum() == 7  # center + 6 face neighbors
+
+
+class TestZeoppEquivalent:
+    def test_single_atom_open_box(self):
+        """One Ar atom in a big box: AV ~ V - vol(probe-padded sphere),
+        ASA ~ sphere area, everything accessible."""
+        f = single_atom_frame(box=14.0)
+        out = zeopp.analyze_frame(
+            f, sa=True, vol=True, res=True, resolution=0.2
+        )
+        r_eff = 1.88 + 1.2
+        v_sphere = 4 / 3 * np.pi * r_eff**3
+        assert out["AV_A^3"] == pytest.approx(14.0**3 - v_sphere, rel=0.02)
+        assert out["NAV_A^3"] == 0.0
+        assert out["ASA_A^2"] == pytest.approx(4 * np.pi * r_eff**2, rel=1e-6)
+        assert out["NASA_A^2"] == 0.0
+        # res: largest included sphere (touching the atom SURFACE, no
+        # probe padding) at the body-diagonal image point
+        di_expected = 2 * (np.sqrt(3) * 7.0 - 1.88)
+        assert out["Included_diameter"] == pytest.approx(di_expected, rel=0.05)
+        assert out["Free_diameter"] <= out["Included_diameter"] + 1e-6
+        assert out["Included_along_free"] <= out["Included_diameter"] + 1e-6
+        assert out["Free_diameter"] > 0
+
+    def test_dense_box_no_void(self):
+        """FCC-packed large atoms leave no probe-accessible space."""
+        pts = []
+        a = 3.0
+        for i in range(4):
+            for j in range(4):
+                for k in range(4):
+                    pts.append([i * a, j * a, k * a])
+        f = Frame(pts, [54] * len(pts), np.eye(3) * 12.0)  # Xe r=2.16
+        out = zeopp.analyze_frame(f, sa=True, vol=True, resolution=0.25)
+        assert out["AV_A^3"] == 0.0
+        assert out["ASA_A^2"] == 0.0
+        assert out["NAV_Volume_fraction"] < 0.02
+
+    def test_sealed_cavity_is_nav(self):
+        """Atoms on a sphere shell enclosing a cavity: the inside is
+        non-accessible, the outside percolates."""
+        rng = np.random.default_rng(0)
+        shell_r = 5.0
+        box = 20.0
+        dirs = grid_kernel.fibonacci_sphere(400)
+        pts = box / 2 + shell_r * dirs
+        f = Frame(pts, [8] * len(pts), np.eye(3) * box)  # O, r=1.52
+        out = zeopp.analyze_frame(f, sa=True, vol=True, resolution=0.25)
+        # cavity interior volume ~ 4/3 pi (shell_r - r_O - r_probe)^3
+        cavity = 4 / 3 * np.pi * (shell_r - 1.52 - 1.2) ** 3
+        assert out["NAV_A^3"] == pytest.approx(cavity, rel=0.35)
+        assert out["AV_A^3"] > 0.5 * box**3
+        assert out["NASA_A^2"] > 0  # inner surface
+        assert out["ASA_A^2"] > out["NASA_A^2"]
+
+    def test_network_api(self):
+        f = single_atom_frame()
+        out = ampore.network(f, sa=True, vol=True)
+        assert {"ASA_A^2", "AV_A^3", "Unitcell_volume", "Density"} <= set(out)
+
+    def test_psd_single_atom(self):
+        f = single_atom_frame(box=10.0)
+        out = zeopp.analyze_frame(f, vol=True, psd=True, resolution=0.25)
+        psd = out["PSD_dAV_A^3"]
+        # all accessible volume, total integral == AV
+        assert psd.sum() == pytest.approx(out["AV_A^3"], rel=1e-6)
+
+
+class TestPoreClass:
+    def test_from_trajectory_and_roundtrip(self, tmp_path):
+        frames = [single_atom_frame(box=10.0) for _ in range(2)]
+        pore = ampore.Pore.from_trajectory(frames, delta_Step=5, resolution=0.3)
+        d = pore.data
+        assert len(d) == 2
+        assert np.array_equal(d["Step"], [0, 5])
+        for col in ["ASA_A^2", "NASA_m^2/g", "AV_A^3", "NAV_cm^3/g",
+                    "AV_Volume_fraction", "Density", "Unitcell_volume"]:
+            assert col in d.columns
+        pore.write_to_file(tmp_path / "t")
+        back = ampore.Pore.from_file(tmp_path / "t")
+        assert np.allclose(back.data, d)
+
+    def test_zif4_smoke(self, zif4_frame):
+        pore = ampore.Pore.from_trajectory([zif4_frame], resolution=0.3)
+        d = pore.data
+        assert len(d) == 1
+        # ZIF-4 is a dense ZIF: small but defined porosity; sane ranges
+        assert 0.0 <= d["AV_Volume_fraction"][0] < 0.4
+        assert d["ASA_A^2"][0] >= 0
+        assert d["Density"][0] == pytest.approx(1.21, rel=0.02)
