@@ -25,7 +25,7 @@ from amof_tpu.ops.pair_engine import frame_neighbor_table, min_image_delta
 
 @functools.partial(
     jax.jit,
-    static_argnames=("specs", "bins", "max_neighbors", "chunk"),
+    static_argnames=("specs", "bins", "max_neighbors", "chunk", "n_i"),
 )
 def frame_bad_counts(
     positions,  # [N, 3] padded
@@ -37,8 +37,13 @@ def frame_bad_counts(
     bins: int,  # number of theta bins (reference: int(180//dtheta) + 1)
     max_neighbors: int = 24,
     chunk: int = 256,
+    i_start=0,
+    n_i: int = None,
 ):
     """Angle histogram of one frame.
+
+    ``i_start``/``n_i`` restrict the center atoms to an i-slice (atom-axis
+    sharding; see pair_engine.frame_rdf_counts).
 
     Returns:
         counts f32[n_specs, max_neighbors+1, bins]: angle counts per spec,
@@ -47,17 +52,21 @@ def frame_bad_counts(
         overflow bool[]: neighbor capacity exceeded somewhere.
     """
     n = positions.shape[0]
+    if n_i is None:
+        n_i = n
     nbr_idx, nbr_cnt, overflow = frame_neighbor_table(
-        positions, cell, species_idx, cutoff_matrix, max_neighbors, chunk
+        positions, cell, species_idx, cutoff_matrix, max_neighbors, chunk,
+        i_start=i_start, n_i=n_i,
     )
     inv_cell = jnp.linalg.inv(cell)
     k_cap = max_neighbors
 
-    def chunk_hist(i0):
-        idx = jax.lax.dynamic_slice(nbr_idx, (i0, 0), (chunk, k_cap))
-        cnt = jax.lax.dynamic_slice(nbr_cnt, (i0,), (chunk,))
-        si = jax.lax.dynamic_slice(species_idx, (i0,), (chunk,))
-        pi = jax.lax.dynamic_slice(positions, (i0, 0), (chunk, 3))
+    def chunk_hist(local_i0):
+        idx = jax.lax.dynamic_slice(nbr_idx, (local_i0, 0), (chunk, k_cap))
+        cnt = jax.lax.dynamic_slice(nbr_cnt, (local_i0,), (chunk,))
+        g0 = i_start + local_i0
+        si = jax.lax.dynamic_slice(species_idx, (g0,), (chunk,))
+        pi = jax.lax.dynamic_slice(positions, (g0, 0), (chunk, 3))
 
         idx_safe = jnp.minimum(idx, n - 1)
         pj = positions[idx_safe]  # [chunk, K, 3]
@@ -106,7 +115,7 @@ def frame_bad_counts(
             out = out.at[s].set(hist[:-1].reshape(k_cap + 1, bins))
         return out
 
-    starts = jnp.arange(0, n, chunk)
+    starts = jnp.arange(0, n_i, chunk)
     counts = jax.lax.map(chunk_hist, starts)
     return jnp.sum(counts, axis=0), overflow
 

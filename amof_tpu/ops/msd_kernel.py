@@ -27,15 +27,13 @@ from amof_tpu.ops.pair_engine import min_image_delta
 
 
 @functools.partial(jax.jit, static_argnames=("origin_policy",))
-def windowed_msd_all_m(x, origin_policy: str = "amof"):
-    """MSD(m) for every window m in [0, T).
+def windowed_msd_atom_sums(x, origin_policy: str = "amof"):
+    """Sum over atoms and origins of |r_{k+m} - r_k|^2 for every m.
 
-    Args:
-        x: f32[T, A, 3] unwrapped (and COM-corrected) positions.
-        origin_policy: 'amof' (reference estimator) or 'standard'.
+    Building block shared by the single-chip path and the atom-sharded
+    multichip path (partial atom sums psum cleanly).
 
-    Returns:
-        f32[T]: MSD(m) averaged over origins and atoms.
+    Returns: f32[T] (divide by N_atoms * (T - m) for the MSD).
     """
     T, A, _ = x.shape
     n_fft = 2 * T  # zero-pad for linear (non-circular) autocorrelation
@@ -56,7 +54,24 @@ def windowed_msd_all_m(x, origin_policy: str = "amof"):
     if origin_policy == "amof":
         # remove the k=0 origin pair (r_m vs r_0) the reference skips
         s = s - jnp.sum((x - x[0][None]) ** 2, axis=-1)
-    msd = jnp.sum(s, axis=1) / (A * (T - m))
+    return jnp.sum(s, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("origin_policy",))
+def windowed_msd_all_m(x, origin_policy: str = "amof"):
+    """MSD(m) for every window m in [0, T).
+
+    Args:
+        x: f32[T, A, 3] unwrapped (and COM-corrected) positions.
+        origin_policy: 'amof' (reference estimator) or 'standard'.
+
+    Returns:
+        f32[T]: MSD(m) averaged over origins and atoms.
+    """
+    T, A, _ = x.shape
+    m = jnp.arange(T)
+    s = windowed_msd_atom_sums(x, origin_policy)
+    msd = s / (A * (T - m))
     return msd.at[0].set(0.0)  # MSD(0) is exactly 0; kill FFT roundoff
 
 

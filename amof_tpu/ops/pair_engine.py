@@ -128,7 +128,8 @@ def default_histogram_method() -> str:
 # --------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("n_species", "bins", "chunk", "method")
+    jax.jit,
+    static_argnames=("n_species", "bins", "chunk", "method", "n_i"),
 )
 def frame_rdf_counts(
     positions,  # [N, 3] (padded)
@@ -139,6 +140,8 @@ def frame_rdf_counts(
     bins: int,
     chunk: int = 256,
     method: str = "scatter",
+    i_start=0,
+    n_i: int = None,
 ):
     """Distance histogram of one frame: counts [n_species², bins].
 
@@ -146,8 +149,15 @@ def frame_rdf_counts(
                          k*dr <= d_ij < (k+1)*dr} with d the minimum-image
     distance. Semantics match the asap3 accumulation consumed at
     amof/rdf.py:87-114.
+
+    ``i_start``/``n_i`` restrict the i-atom range — the hook the
+    multichip path uses to shard the pair loop over an 'atoms' mesh axis
+    (each device histograms its own i-slice against all j, partials are
+    psum-merged).
     """
     n = positions.shape[0]
+    if n_i is None:
+        n_i = n
     total = n_species * n_species * bins
     inv_cell = jnp.linalg.inv(cell)
     inv_dr = 1.0 / dr
@@ -171,7 +181,7 @@ def frame_rdf_counts(
         k = jnp.where(valid, pair * bins + b, total)
         return _histogram(k, jnp.ones_like(d), total, method)
 
-    starts = jnp.arange(0, n, chunk)
+    starts = i_start + jnp.arange(0, n_i, chunk)
     counts = jax.lax.map(chunk_counts, starts)
     return jnp.sum(counts, axis=0).reshape(n_species, n_species, bins)
 
@@ -209,7 +219,7 @@ def trajectory_rdf_counts(
 # CN: per-species-pair coordination counts under a cutoff matrix
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n_species", "chunk"))
+@functools.partial(jax.jit, static_argnames=("n_species", "chunk", "n_i"))
 def frame_cn_counts(
     positions,  # [N, 3] (padded)
     cell,
@@ -217,12 +227,17 @@ def frame_cn_counts(
     cutoff_matrix,  # [S, S] symmetric, 0 disables a pair
     n_species: int,
     chunk: int = 256,
+    i_start=0,
+    n_i: int = None,
 ):
     """Total neighbor counts per ordered species pair: out[a, b] =
     #{(i in a, j in b) : d_ij < cutoff[a, b]} — the device equivalent of
     the per-atom counting loop at amof/cn.py:58-73 (summed over atoms;
-    divide by N_a for the mean CN)."""
+    divide by N_a for the mean CN). ``i_start``/``n_i`` shard the i-atom
+    range (see frame_rdf_counts)."""
     n = positions.shape[0]
+    if n_i is None:
+        n_i = n
     inv_cell = jnp.linalg.inv(cell)
     sp_safe = jnp.maximum(species_idx, 0)
 
@@ -246,7 +261,7 @@ def frame_cn_counts(
         )
         return _scatter_histogram(pair, valid.astype(jnp.float32), n_species * n_species)
 
-    starts = jnp.arange(0, n, chunk)
+    starts = i_start + jnp.arange(0, n_i, chunk)
     counts = jax.lax.map(chunk_counts, starts)
     return jnp.sum(counts, axis=0).reshape(n_species, n_species)
 
@@ -255,7 +270,9 @@ def frame_cn_counts(
 # Neighbor capture: fixed-capacity masked neighbor arrays
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("max_neighbors", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("max_neighbors", "chunk", "n_i")
+)
 def frame_neighbor_table(
     positions,  # [N, 3] (padded)
     cell,
@@ -263,16 +280,23 @@ def frame_neighbor_table(
     cutoff_matrix,  # [S, S]
     max_neighbors: int = 32,
     chunk: int = 256,
+    i_start=0,
+    n_i: int = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fixed-capacity neighbor table (indices, count, overflow flag).
 
+    ``i_start``/``n_i`` restrict the centers to an i-atom slice (atom-axis
+    sharding); neighbor indices stay global.
+
     Returns:
-        nbr_idx  i32[N, K]: neighbor indices (n for empty slots)
-        nbr_cnt  i32[N]:    number of neighbors of each atom
-        overflow bool[]:    True if any atom exceeded K (report, don't
-                            silently truncate — SURVEY.md §7 hard parts)
+        nbr_idx  i32[n_i, K]: neighbor indices (n for empty slots)
+        nbr_cnt  i32[n_i]:    number of neighbors of each atom
+        overflow bool[]:      True if any atom exceeded K (report, don't
+                              silently truncate — SURVEY.md §7 hard parts)
     """
     n = positions.shape[0]
+    if n_i is None:
+        n_i = n
     inv_cell = jnp.linalg.inv(cell)
     sp_safe = jnp.maximum(species_idx, 0)
 
@@ -299,9 +323,9 @@ def frame_neighbor_table(
         idx = idx.at[rows, slot].set(jnp.where(valid, gj, n), mode="drop")
         return idx[:, :max_neighbors], cnt
 
-    starts = jnp.arange(0, n, chunk)
+    starts = i_start + jnp.arange(0, n_i, chunk)
     nbr_idx, nbr_cnt = jax.lax.map(chunk_table, starts)
-    nbr_idx = nbr_idx.reshape(n, max_neighbors)
-    nbr_cnt = nbr_cnt.reshape(n)
+    nbr_idx = nbr_idx.reshape(n_i, max_neighbors)
+    nbr_cnt = nbr_cnt.reshape(n_i)
     overflow = jnp.any(nbr_cnt > max_neighbors)
     return nbr_idx, jnp.minimum(nbr_cnt, max_neighbors), overflow

@@ -1,0 +1,250 @@
+"""
+Fused multi-chip analysis pipeline — the framework's flagship "model".
+
+One SPMD program computes, over a FrameBatch sharded on a
+('frames', 'atoms') mesh:
+
+  * RDF species-pair histograms (volume-weighted, psum over both axes),
+  * per-frame CN counts (psum over 'atoms', sharded over 'frames'),
+  * BAD angle histograms (optional; same sharding as RDF),
+  * windowed MSD via FFT (frames all-gathered along time, atoms sharded).
+
+This is the TPU-native replacement of the reference's entire joblib
+fan-out (SURVEY.md §2 row 20, §5.8): the frame axis is embarrassingly
+parallel, so the only real communication is histogram psum-merging and
+the two all_gathers that re-shard between pair-space (frames-local,
+atoms-sharded) and time-space (atoms-local, frames-gathered).
+
+Shapes must divide the mesh (frames % frames_axis == 0, padded atoms %
+atoms_axis == 0); ``FusedAnalysis.run`` pads atoms automatically and
+asserts on frames.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from amof_tpu.cn import _cutoff_matrix_for_species
+from amof_tpu.core.frames import as_frame_batch
+from amof_tpu.data import elements
+from amof_tpu.ops import bad_kernel, msd_kernel, pair_engine
+from amof_tpu.parallel.mesh import analysis_mesh
+from amof_tpu.rdf import _species_table
+
+
+def _make_step(
+    mesh,
+    n_species: int,
+    bins: int,
+    dr: float,
+    bad_specs,
+    bad_bins: int,
+    dtheta: float,
+    max_neighbors: int,
+    chunk: int,
+    method: str,
+    n_atoms_padded: int,
+    with_bad: bool,
+    with_msd: bool,
+    origin_policy: str,
+):
+    frames_ax = mesh.shape["frames"]
+    atoms_ax = mesh.shape["atoms"]
+    a_local = n_atoms_padded // atoms_ax
+
+    def step(positions, cells, volumes, species_idx, cutoff_matrix, masses):
+        # positions: [F_loc, A_loc, 3]; cells/volumes: [F_loc, ...]
+        # species_idx/cutoff_matrix/masses: replicated
+        a_idx = jax.lax.axis_index("atoms")
+        i0 = a_idx * a_local
+
+        pos_atoms_full = jax.lax.all_gather(
+            positions, "atoms", axis=1, tiled=True
+        )  # [F_loc, N, 3]
+
+        def per_frame(args):
+            pos, cell, vol = args
+            rdf = vol * pair_engine.frame_rdf_counts(
+                pos, cell, species_idx, dr, n_species, bins,
+                chunk=chunk, method=method, i_start=i0, n_i=a_local,
+            )
+            cn = pair_engine.frame_cn_counts(
+                pos, cell, species_idx, cutoff_matrix, n_species,
+                chunk=chunk, i_start=i0, n_i=a_local,
+            )
+            if with_bad:
+                bad, _overflow = bad_kernel.frame_bad_counts(
+                    pos, cell, species_idx, cutoff_matrix, bad_specs,
+                    dtheta, bad_bins, max_neighbors, chunk,
+                    i_start=i0, n_i=a_local,
+                )
+            else:
+                bad = jnp.zeros((1,), jnp.float32)
+            return rdf, cn, bad
+
+        rdf, cn, bad = jax.lax.map(
+            per_frame, (pos_atoms_full, cells, volumes)
+        )
+        rdf = jax.lax.psum(jnp.sum(rdf, axis=0), ("frames", "atoms"))
+        cn = jax.lax.psum(cn, "atoms")  # per-frame, stays frame-sharded
+        bad = jax.lax.psum(jnp.sum(bad, axis=0), ("frames", "atoms"))
+
+        out = {"rdf_counts": rdf, "cn_counts": cn, "bad_counts": bad}
+
+        if with_msd:
+            # re-shard to time-complete, atom-sharded
+            pos_t = jax.lax.all_gather(
+                positions, "frames", axis=0, tiled=True
+            )  # [F, A_loc, 3]
+            cells_t = jax.lax.all_gather(cells, "frames", axis=0, tiled=True)
+            m_local = jax.lax.dynamic_slice(masses, (i0,), (a_local,))
+            # reference order (amof/msd.py:235-247): COM removal on the
+            # stored positions, THEN min-image displacement decomposition
+            w_sum = jax.lax.psum(jnp.sum(m_local), "atoms")
+            com = jax.lax.psum(
+                jnp.sum(pos_t * m_local[None, :, None], axis=1), "atoms"
+            ) / w_sum  # [F, 3]
+            x = msd_kernel.unwrap_positions(
+                pos_t - com[:, None, :], cells_t
+            )
+            # padding atoms (mass 0) must not contribute displacement
+            x = x * (m_local > 0)[None, :, None]
+            s = msd_kernel.windowed_msd_atom_sums(x, origin_policy)  # [F]
+            n_eff = jax.lax.psum(
+                jnp.sum((m_local > 0).astype(jnp.float32)), "atoms"
+            )
+            t = pos_t.shape[0]
+            msd = jax.lax.psum(s, "atoms") / (
+                n_eff * (t - jnp.arange(t))
+            )
+            out["msd"] = msd.at[0].set(0.0)
+        return out
+
+    in_specs = (
+        P("frames", "atoms", None),  # positions
+        P("frames", None, None),  # cells
+        P("frames"),  # volumes
+        P(),  # species_idx
+        P(),  # cutoff_matrix
+        P(),  # masses
+    )
+    out_specs = {
+        "rdf_counts": P(),
+        "cn_counts": P("frames", None, None),
+        "bad_counts": P(),
+    }
+    if with_msd:
+        out_specs["msd"] = P()
+
+    return jax.jit(
+        shard_map(
+            step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+    )
+
+
+class FusedAnalysis:
+    """Configurable fused RDF+CN(+BAD)(+MSD) step over a device mesh."""
+
+    def __init__(
+        self,
+        nb_set_and_cutoff,
+        dr: float = 0.02,
+        rmax: Optional[float] = None,
+        dtheta: float = 1.0,
+        max_neighbors: int = 16,
+        with_bad: bool = True,
+        with_msd: bool = True,
+        method: Optional[str] = None,
+        chunk: int = 256,
+        origin_policy: str = "amof",
+    ):
+        self.nb_set_and_cutoff = nb_set_and_cutoff
+        self.dr = dr
+        self.rmax = rmax
+        self.dtheta = dtheta
+        self.max_neighbors = max_neighbors
+        self.with_bad = with_bad
+        self.with_msd = with_msd
+        self.method = method or pair_engine.default_histogram_method()
+        self.chunk = chunk
+        self.origin_policy = origin_policy
+
+    def prepare(self, batch, mesh=None):
+        """Resolve static shapes; returns (step_fn, args, meta)."""
+        import amof_tpu.bad as ambad
+
+        batch = as_frame_batch(batch)
+        mesh = mesh or analysis_mesh()
+        species = np.asarray(batch.species)
+        unique, z_to_idx = _species_table(species)
+        n_species = len(unique)
+
+        cells = np.asarray(batch.cell)
+        lengths = np.linalg.norm(cells.astype(np.float64), axis=2)
+        rmax = self.rmax or float(lengths.min()) / 2
+        bins = int(rmax // self.dr)
+
+        atoms_ax = mesh.shape["atoms"]
+        # every device's atom slice must itself divide into chunks
+        pad_multiple = self.chunk * atoms_ax
+        positions, species_idx = pair_engine.pad_atoms(
+            np.asarray(batch.positions), z_to_idx[species], pad_multiple
+        )
+        if batch.num_frames % mesh.shape["frames"]:
+            raise ValueError(
+                f"frames ({batch.num_frames}) must divide the 'frames' "
+                f"mesh axis ({mesh.shape['frames']})"
+            )
+
+        cutoff_matrix = _cutoff_matrix_for_species(
+            self.nb_set_and_cutoff, unique, z_to_idx
+        )
+        pairs, bad_names = ambad._enumerate_specs(self.nb_set_and_cutoff, unique)
+        bad_specs = tuple(
+            (
+                -1 if a == "X" else int(z_to_idx[a]),
+                -1 if b == "X" else int(z_to_idx[b]),
+            )
+            for a, b in pairs
+        )
+        bad_bins = int(180 // self.dtheta) + 1
+        masses = np.concatenate(
+            [elements.mass_of(species),
+             np.zeros(len(species_idx) - len(species))]
+        ).astype(positions.dtype)
+        volumes = np.abs(np.linalg.det(cells.astype(np.float64))).astype(
+            positions.dtype
+        )
+
+        step_fn = _make_step(
+            mesh, n_species, bins, float(self.dr), bad_specs, bad_bins,
+            float(self.dtheta), self.max_neighbors, self.chunk, self.method,
+            positions.shape[1], self.with_bad, self.with_msd,
+            self.origin_policy,
+        )
+        args = (
+            positions, np.asarray(batch.cell), volumes,
+            species_idx, cutoff_matrix, masses,
+        )
+        meta = {
+            "unique": unique, "bins": bins, "rmax": rmax,
+            "bad_names": bad_names, "mesh": mesh,
+        }
+        return step_fn, args, meta
+
+    def run(self, batch, mesh=None) -> Dict[str, np.ndarray]:
+        step_fn, args, meta = self.prepare(batch, mesh)
+        out = step_fn(*args)
+        return {k: np.asarray(v) for k, v in out.items()}, meta

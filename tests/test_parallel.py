@@ -1,0 +1,87 @@
+"""Multichip sharding tests on the 8-virtual-CPU-device mesh: the fused
+pipeline must be invariant to the mesh layout."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from amof_tpu.core.frames import Frame
+from amof_tpu.parallel.mesh import analysis_mesh
+from amof_tpu.parallel.pipeline import FusedAnalysis
+
+
+def tiny_trajectory(n_frames=8, n_atoms=96, seed=0):
+    rng = np.random.default_rng(seed)
+    box = 12.0
+    species = np.array([30] * 8 + [7] * 24 + [6] * 32 + [1] * 32)[:n_atoms]
+    return [
+        Frame(rng.uniform(0, box, (n_atoms, 3)), species, np.eye(3) * box)
+        for _ in range(n_frames)
+    ]
+
+
+@pytest.fixture(scope="module")
+def fused():
+    return FusedAnalysis(
+        {"Zn-N": 2.5, "C-H": 1.3}, dr=0.05, dtheta=2.0, chunk=16,
+        method="scatter", with_bad=True, with_msd=True,
+    )
+
+
+class TestMesh:
+    def test_devices_present(self):
+        assert len(jax.devices()) == 8
+
+    def test_mesh_shapes(self):
+        m = analysis_mesh(8)
+        assert m.shape == {"frames": 8, "atoms": 1}
+        m2 = analysis_mesh(8, frames_axis=4)
+        assert m2.shape == {"frames": 4, "atoms": 2}
+        with pytest.raises(ValueError):
+            analysis_mesh(8, frames_axis=3)
+
+
+class TestFusedPipeline:
+    def test_mesh_invariance(self, fused):
+        frames = tiny_trajectory()
+        ref, _ = fused.run(frames, mesh=analysis_mesh(1))
+        for fa_ax in [8, 4, 2, 1]:
+            mesh = analysis_mesh(8, frames_axis=fa_ax)
+            out, _ = fused.run(frames, mesh=mesh)
+            for key in ref:
+                np.testing.assert_allclose(
+                    out[key], ref[key], rtol=1e-4, atol=1e-4,
+                    err_msg=f"{key} differs on mesh {dict(mesh.shape)}",
+                )
+
+    def test_matches_analysis_classes(self, fused):
+        """Fused sharded results == the public single-chip analysis
+        classes (RDF counts up to normalization, CN exactly, MSD)."""
+        import amof_tpu.cn as amcn
+        import amof_tpu.msd as ammsd
+
+        frames = tiny_trajectory()
+        out, meta = fused.run(frames, mesh=analysis_mesh(8, frames_axis=4))
+
+        cn = amcn.CoordinationNumber.from_trajectory(
+            frames, {"Zn-N": 2.5, "C-H": 1.3}
+        )
+        unique = list(meta["unique"])
+        i_zn, i_n = unique.index(30), unique.index(7)
+        n_zn = 8
+        np.testing.assert_allclose(
+            out["cn_counts"][:, i_zn, i_n] / n_zn,
+            cn.data["Zn-N"].to_numpy(), rtol=1e-6,
+        )
+
+        msd = ammsd.WindowMsd.from_trajectory(frames, delta_time=1, timestep=1)
+        np.testing.assert_allclose(
+            out["msd"][: len(msd.data)], msd.data["X"].to_numpy(),
+            rtol=2e-3, atol=1e-4,
+        )
+
+    def test_frames_not_divisible_raises(self, fused):
+        frames = tiny_trajectory(n_frames=6)
+        with pytest.raises(ValueError, match="frames"):
+            fused.run(frames, mesh=analysis_mesh(8, frames_axis=4))
