@@ -92,11 +92,12 @@ def _compute_counts(batch, nb_set_and_cutoff, dtheta):
     )
     chunk = pair_engine._pick_chunk(positions.shape[1])
     cells = np.asarray(batch.cell)
+    n_species = len(unique)
 
     max_neighbors = 16
     while True:
-        counts, overflow = bad_kernel.trajectory_bad_counts(
-            positions, cells, species_idx, cutoff_matrix, specs,
+        conc, center_any, overflow = bad_kernel.trajectory_bad_counts(
+            positions, cells, species_idx, cutoff_matrix, n_species,
             float(dtheta), n_hist_bins, max_neighbors, chunk,
         )
         if not bool(overflow):
@@ -110,7 +111,12 @@ def _compute_counts(batch, nb_set_and_cutoff, dtheta):
             "neighbor capacity overflow; retrying with max_neighbors=%s",
             max_neighbors,
         )
-    return np.asarray(counts, dtype=np.float64), names, theta
+    conc = np.asarray(conc, dtype=np.float64)
+    center_any = np.asarray(center_any, dtype=np.float64)
+    counts = np.stack(
+        [bad_kernel.select_spec_counts(conc, center_any, s) for s in specs]
+    )
+    return counts, names, theta
 
 
 class CoreBad:

@@ -4,12 +4,22 @@ On-device bond-angle distribution kernel.
 Replaces the reference's per-frame Python triplet loop + ASE
 ``get_angles(mic=True)`` (amof/bad.py:71-101) with a fused device pass:
 fixed-capacity neighbor tables -> all neighbor-slot pairs -> minimum-image
-angles -> histogram, resolved by (spec, coordination-number, theta-bin) so
-one pass serves both ``Bad`` (sum over the cn axis) and ``BadByCn``.
+angles -> histograms.
 
-Spec encoding: each requested triple B-A-B is (a, b) with a the center
-species index and b the outer species index, -1 meaning the "X" wildcard
-(amof/bad.py:122-133 enumeration).
+Instead of one masked histogram per requested spec (whose compile cost
+scales with the wildcard enumeration), the kernel emits two
+species-resolved tensors from which every B-A-B spec of the reference's
+enumeration (amof/bad.py:122-133) is a slice or sum:
+
+  * concrete[a, b, cn, theta]: angles with center species a and BOTH
+    outer atoms of species b, bucketed by the center's count of
+    b-species neighbors — spec (a, b);
+  * center_any[a, cn, theta]: ALL angles at centers of species a,
+    bucketed by the center's total neighbor count — spec (a, "X");
+    summing over a gives ("X", "X").
+
+(The only wildcard form the reference enumerates with a concrete second
+species is none — "X" centers only pair with "X" outers.)
 """
 
 from __future__ import annotations
@@ -25,14 +35,14 @@ from amof_tpu.ops.pair_engine import frame_neighbor_table, min_image_delta
 
 @functools.partial(
     jax.jit,
-    static_argnames=("specs", "bins", "max_neighbors", "chunk", "n_i"),
+    static_argnames=("n_species", "bins", "max_neighbors", "chunk", "n_i"),
 )
 def frame_bad_counts(
     positions,  # [N, 3] padded
     cell,  # [3, 3]
     species_idx,  # [N], -1 padding
     cutoff_matrix,  # [S, S]
-    specs: Tuple[Tuple[int, int], ...],  # ((a, b), ...), -1 = wildcard
+    n_species: int,
     dtheta: float,
     bins: int,  # number of theta bins (reference: int(180//dtheta) + 1)
     max_neighbors: int = 24,
@@ -40,28 +50,31 @@ def frame_bad_counts(
     i_start=0,
     n_i: int = None,
 ):
-    """Angle histogram of one frame.
+    """Angle histograms of one frame.
 
     ``i_start``/``n_i`` restrict the center atoms to an i-slice (atom-axis
     sharding; see pair_engine.frame_rdf_counts).
 
     Returns:
-        counts f32[n_specs, max_neighbors+1, bins]: angle counts per spec,
-            per coordination number (number of B-species neighbors of the
-            center), per theta bin.
-        overflow bool[]: neighbor capacity exceeded somewhere.
+        concrete  f32[S, S, K+1, bins]
+        center_any f32[S, K+1, bins]
+        overflow  bool[]
     """
     n = positions.shape[0]
     if n_i is None:
         n_i = n
+    k_cap = max_neighbors
     nbr_idx, nbr_cnt, overflow = frame_neighbor_table(
         positions, cell, species_idx, cutoff_matrix, max_neighbors, chunk,
         i_start=i_start, n_i=n_i,
     )
     inv_cell = jnp.linalg.inv(cell)
-    k_cap = max_neighbors
+    s2 = n_species * n_species
+    conc_total = s2 * (k_cap + 1) * bins
+    any_total = n_species * (k_cap + 1) * bins
 
-    def chunk_hist(local_i0):
+    def chunk_hist(local_i0, acc):
+        conc_acc, any_acc = acc
         idx = jax.lax.dynamic_slice(nbr_idx, (local_i0, 0), (chunk, k_cap))
         cnt = jax.lax.dynamic_slice(nbr_cnt, (local_i0,), (chunk,))
         g0 = i_start + local_i0
@@ -72,20 +85,19 @@ def frame_bad_counts(
         pj = positions[idx_safe]  # [chunk, K, 3]
         sj = species_idx[idx_safe]  # [chunk, K]
         slot_valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (chunk, k_cap), 1) < cnt[:, None]
+            jax.lax.broadcasted_iota(jnp.int32, (chunk, k_cap), 1)
+            < cnt[:, None]
         )
+        sj = jnp.where(slot_valid, sj, -1)
         vec = min_image_delta(pj - pi[:, None, :], cell, inv_cell)
         norm = jnp.sqrt(jnp.sum(vec * vec, axis=-1))
         unit = vec / jnp.maximum(norm, 1e-12)[..., None]
-        # elementwise contraction over the 3 coords (full f32; see
-        # pair_engine.matvec3 for why this is not an einsum/dot)
-        cosang = jnp.sum(
-            unit[:, :, None, :] * unit[:, None, :, :], axis=-1
-        )
+        # elementwise contraction over coords (full f32; see
+        # pair_engine.matvec3 for why not einsum/dot)
+        cosang = jnp.sum(unit[:, :, None, :] * unit[:, None, :, :], axis=-1)
         theta = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
-        tbin = jnp.minimum(
-            jnp.floor(theta / dtheta).astype(jnp.int32), bins - 1
-        )
+        tbin = jnp.minimum(jnp.floor(theta / dtheta).astype(jnp.int32),
+                           bins - 1)
 
         kk = jax.lax.broadcasted_iota(jnp.int32, (chunk, k_cap, k_cap), 1)
         ll = jax.lax.broadcasted_iota(jnp.int32, (chunk, k_cap, k_cap), 2)
@@ -93,31 +105,73 @@ def frame_bad_counts(
             (kk < ll)
             & slot_valid[:, :, None]
             & slot_valid[:, None, :]
+            & (si >= 0)[:, None, None]
         )
 
-        out = jnp.zeros((len(specs), k_cap + 1, bins), jnp.float32)
-        for s, (a, b) in enumerate(specs):
-            center_ok = (si == a) if a >= 0 else (si >= 0)
-            outer_ok = (sj == b) if b >= 0 else slot_valid
-            outer_ok = outer_ok & slot_valid
-            # coordination number: count of B-species neighbors of center
-            cn_b = jnp.sum(outer_ok, axis=1).astype(jnp.int32)  # [chunk]
-            mask = (
-                pair_valid
-                & center_ok[:, None, None]
-                & outer_ok[:, :, None]
-                & outer_ok[:, None, :]
-            )
-            key = jnp.where(mask, cn_b[:, None, None] * bins + tbin, (k_cap + 1) * bins)
-            hist = jnp.zeros((k_cap + 1) * bins + 1, jnp.float32).at[
-                key.reshape(-1)
-            ].add(mask.reshape(-1).astype(jnp.float32))
-            out = out.at[s].set(hist[:-1].reshape(k_cap + 1, bins))
-        return out
+        # per-(center, b) neighbor counts: cn_b[chunk, S]
+        onehot_sj = (
+            sj[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_species), 2)
+        )
+        cn_b = jnp.sum(onehot_sj, axis=1).astype(jnp.int32)  # [chunk, S]
+        cn_all = cnt  # [chunk]
 
-    starts = jnp.arange(0, n_i, chunk)
-    counts = jax.lax.map(chunk_hist, starts)
-    return jnp.sum(counts, axis=0), overflow
+        # concrete: both outers share species b
+        sjk = sj[:, :, None]  # species of slot k
+        sjl = sj[:, None, :]
+        same = pair_valid & (sjk == sjl) & (sjk >= 0)
+        b_sp = jnp.maximum(sjk, 0)
+        a_sp = jnp.maximum(si, 0)[:, None, None]
+        pair_species = jnp.broadcast_to(
+            jnp.maximum(sjk, 0), (chunk, k_cap, k_cap)
+        )
+        cn_of_pair = jnp.take_along_axis(
+            cn_b, pair_species.reshape(chunk, -1), axis=1
+        ).reshape(chunk, k_cap, k_cap)
+        key_c = (
+            ((a_sp * n_species + b_sp) * (k_cap + 1) + cn_of_pair) * bins
+            + tbin
+        )
+        key_c = jnp.where(same, key_c, conc_total)
+        conc_acc = conc_acc.at[key_c.reshape(-1)].add(
+            same.reshape(-1).astype(jnp.float32), mode="drop"
+        )
+
+        # center-any: every valid pair, cn = total neighbor count
+        key_a = (
+            (a_sp * (k_cap + 1) + cn_all[:, None, None]) * bins + tbin
+        )
+        key_a = jnp.where(pair_valid, key_a, any_total)
+        any_acc = any_acc.at[key_a.reshape(-1)].add(
+            pair_valid.reshape(-1).astype(jnp.float32), mode="drop"
+        )
+        return conc_acc, any_acc
+
+    def body(c, acc):
+        return chunk_hist(c * chunk, acc)
+
+    conc, any_ = jax.lax.fori_loop(
+        0, n_i // chunk, body,
+        (
+            jnp.zeros(conc_total + 1, jnp.float32),
+            jnp.zeros(any_total + 1, jnp.float32),
+        ),
+    )
+    return (
+        conc[:-1].reshape(n_species, n_species, k_cap + 1, bins),
+        any_[:-1].reshape(n_species, k_cap + 1, bins),
+        overflow,
+    )
+
+
+def select_spec_counts(concrete, center_any, spec: Tuple[int, int]):
+    """Counts [cn, theta] for one (center, outer) spec; -1 = wildcard."""
+    a, b = spec
+    if a >= 0 and b >= 0:
+        return concrete[a, b]
+    if a >= 0 and b < 0:
+        return center_any[a]
+    return center_any.sum(axis=0)
 
 
 def trajectory_bad_counts(
@@ -125,20 +179,20 @@ def trajectory_bad_counts(
     cells,  # [F, 3, 3]
     species_idx,
     cutoff_matrix,
-    specs,
+    n_species,
     dtheta,
     bins,
     max_neighbors=24,
     chunk=256,
 ):
-    """Accumulate angle counts over all frames; returns (counts, overflow)."""
+    """Accumulate over frames; returns (concrete, center_any, overflow)."""
 
     def one(args):
         pos, cell = args
         return frame_bad_counts(
-            pos, cell, species_idx, cutoff_matrix, specs, dtheta, bins,
+            pos, cell, species_idx, cutoff_matrix, n_species, dtheta, bins,
             max_neighbors, chunk,
         )
 
-    counts, overflow = jax.lax.map(one, (positions, cells))
-    return jnp.sum(counts, axis=0), jnp.any(overflow)
+    conc, any_, overflow = jax.lax.map(one, (positions, cells))
+    return jnp.sum(conc, axis=0), jnp.sum(any_, axis=0), jnp.any(overflow)

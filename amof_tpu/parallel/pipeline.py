@@ -47,7 +47,6 @@ def _make_step(
     n_species: int,
     bins: int,
     dr: float,
-    bad_specs,
     bad_bins: int,
     dtheta: float,
     max_neighbors: int,
@@ -83,23 +82,30 @@ def _make_step(
                 chunk=chunk, i_start=i0, n_i=a_local,
             )
             if with_bad:
-                bad, _overflow = bad_kernel.frame_bad_counts(
-                    pos, cell, species_idx, cutoff_matrix, bad_specs,
+                bad_c, bad_a, _overflow = bad_kernel.frame_bad_counts(
+                    pos, cell, species_idx, cutoff_matrix, n_species,
                     dtheta, bad_bins, max_neighbors, chunk,
                     i_start=i0, n_i=a_local,
                 )
             else:
-                bad = jnp.zeros((1,), jnp.float32)
-            return rdf, cn, bad
+                bad_c = jnp.zeros((1,), jnp.float32)
+                bad_a = jnp.zeros((1,), jnp.float32)
+            return rdf, cn, bad_c, bad_a
 
-        rdf, cn, bad = jax.lax.map(
+        rdf, cn, bad_c, bad_a = jax.lax.map(
             per_frame, (pos_atoms_full, cells, volumes)
         )
         rdf = jax.lax.psum(jnp.sum(rdf, axis=0), ("frames", "atoms"))
         cn = jax.lax.psum(cn, "atoms")  # per-frame, stays frame-sharded
-        bad = jax.lax.psum(jnp.sum(bad, axis=0), ("frames", "atoms"))
+        bad_c = jax.lax.psum(jnp.sum(bad_c, axis=0), ("frames", "atoms"))
+        bad_a = jax.lax.psum(jnp.sum(bad_a, axis=0), ("frames", "atoms"))
 
-        out = {"rdf_counts": rdf, "cn_counts": cn, "bad_counts": bad}
+        out = {
+            "rdf_counts": rdf,
+            "cn_counts": cn,
+            "bad_concrete": bad_c,
+            "bad_center_any": bad_a,
+        }
 
         if with_msd:
             # re-shard to time-complete, atom-sharded
@@ -141,7 +147,8 @@ def _make_step(
     out_specs = {
         "rdf_counts": P(),
         "cn_counts": P("frames", None, None),
-        "bad_counts": P(),
+        "bad_concrete": P(),
+        "bad_center_any": P(),
     }
     if with_msd:
         out_specs["msd"] = P()
@@ -229,7 +236,7 @@ class FusedAnalysis:
         )
 
         step_fn = _make_step(
-            mesh, n_species, bins, float(self.dr), bad_specs, bad_bins,
+            mesh, n_species, bins, float(self.dr), bad_bins,
             float(self.dtheta), self.max_neighbors, self.chunk, self.method,
             positions.shape[1], self.with_bad, self.with_msd,
             self.origin_policy,
@@ -240,7 +247,7 @@ class FusedAnalysis:
         )
         meta = {
             "unique": unique, "bins": bins, "rmax": rmax,
-            "bad_names": bad_names, "mesh": mesh,
+            "bad_names": bad_names, "bad_specs": bad_specs, "mesh": mesh,
         }
         return step_fn, args, meta
 

@@ -84,9 +84,16 @@ def main():
     )
     step_fn, fargs, meta = fa.prepare(batch, mesh=mesh)
 
+    def run_once():
+        out = step_fn(*fargs)
+        # force a full device->host sync: block_until_ready is not a
+        # reliable barrier on remote-tunnel backends
+        float(np.asarray(out["msd"]).sum())
+        float(np.asarray(out["rdf_counts"]).sum())
+        return out
+
     t0 = time.time()
-    out = step_fn(*fargs)
-    jax.block_until_ready(out)
+    out = run_once()
     compile_time = time.time() - t0
     print(f"bench: first call (compile+run) {compile_time:.1f}s",
           file=sys.stderr)
@@ -94,8 +101,7 @@ def main():
     times = []
     for _ in range(args.repeats):
         t0 = time.time()
-        out = step_fn(*fargs)
-        jax.block_until_ready(out)
+        out = run_once()
         times.append(time.time() - t0)
     best = min(times)
     frames_per_sec = args.frames / best
