@@ -1,0 +1,107 @@
+"""Tests for config, profiling, plotting helpers, packaging surface."""
+
+import numpy as np
+import pytest
+
+import amof_tpu
+from amof_tpu.config import AnalysisConfig
+from amof_tpu import profiling
+
+
+class TestConfig:
+    def test_defaults_match_reference(self):
+        cfg = AnalysisConfig()
+        assert cfg.rdf_dr == 0.01
+        assert cfg.rdf_rmax == "half_cell"
+        assert cfg.bad_dtheta == 0.05
+        assert cfg.msd_delta_time == 100
+        assert cfg.ring_max_search_depth == 32
+        assert cfg.dist_margin == 1.2
+        assert cfg.dist_margin_metal == 1.6
+        assert cfg.pore_probe_radius == 1.2
+
+    def test_from_env(self, monkeypatch):
+        monkeypatch.setenv("AMOF_TPU_RDF_DR", "0.05")
+        monkeypatch.setenv("AMOF_TPU_RING_MAX_SEARCH_DEPTH", "16")
+        cfg = AnalysisConfig.from_env()
+        assert cfg.rdf_dr == 0.05
+        assert cfg.ring_max_search_depth == 16
+
+
+class TestProfiling:
+    def test_timed_registry(self):
+        profiling.reset_timings()
+        with profiling.timed("section", sync=False):
+            pass
+        with profiling.timed("section", sync=False):
+            pass
+        t = profiling.timings()
+        assert t["section"]["count"] == 2
+        assert t["section"]["total"] >= 0
+
+    def test_trace_smoke(self, tmp_path):
+        import jax.numpy as jnp
+
+        with profiling.trace(tmp_path):
+            _ = jnp.ones(8).sum().block_until_ready()
+        assert any(tmp_path.rglob("*"))
+
+    def test_device_memory_stats(self):
+        stats = profiling.device_memory_stats()
+        assert len(stats) >= 1
+
+
+class TestPlot:
+    def test_save_plot(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from amof_tpu.plot import save_plot
+
+        fig, ax = plt.subplots()
+        ax.plot([0, 1], [0, 1])
+        out = save_plot(fig, tmp_path / "fig", "png")
+        assert out.endswith(".png")
+        import pathlib
+
+        assert pathlib.Path(out).stat().st_size > 0
+
+    def test_save_hvplot_gated(self):
+        from amof_tpu.plot import save_hvplot
+
+        with pytest.raises((ImportError, ValueError)):
+            save_hvplot(object(), "x")
+
+
+class TestPackageSurface:
+    def test_top_level_exports(self):
+        assert hasattr(amof_tpu, "Frame")
+        assert hasattr(amof_tpu, "FrameBatch")
+        assert amof_tpu.__version__
+
+    def test_reference_module_names_resolve(self):
+        """A user of the reference finds the same module paths."""
+        import amof_tpu.atom
+        import amof_tpu.bad
+        import amof_tpu.cn
+        import amof_tpu.coordination.buildingunits
+        import amof_tpu.coordination.core
+        import amof_tpu.coordination.reduce
+        import amof_tpu.coordination.zif
+        import amof_tpu.elastic.core
+        import amof_tpu.elastic.elate
+        import amof_tpu.files.molsys
+        import amof_tpu.files.operation
+        import amof_tpu.files.path
+        import amof_tpu.io.cp2k
+        import amof_tpu.io.lammps
+        import amof_tpu.msd
+        import amof_tpu.plot
+        import amof_tpu.pore.core
+        import amof_tpu.rdf
+        import amof_tpu.ring.core
+        import amof_tpu.structure
+        import amof_tpu.symbols
+        import amof_tpu.trajectory
