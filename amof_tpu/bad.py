@@ -69,9 +69,10 @@ def _enumerate_specs(nb_set_and_cutoff, unique):
     return pairs, names
 
 
-def _compute_counts(batch, nb_set_and_cutoff, dtheta):
+def _compute_counts(batch, nb_set_and_cutoff, dtheta, by_cn=False):
     """Shared device path: accumulated angle counts
-    [n_specs, K+1, bins+1] over all frames, plus metadata."""
+    [n_specs, cn_slots, bins+1] over all frames, plus metadata.
+    cn_slots == 1 unless by_cn (the BadByCn axis)."""
     species = np.asarray(batch.species)
     unique, z_to_idx = _species_table(species)
     cutoff_matrix = _cutoff_matrix_for_species(nb_set_and_cutoff, unique, z_to_idx)
@@ -98,7 +99,7 @@ def _compute_counts(batch, nb_set_and_cutoff, dtheta):
     while True:
         conc, center_any, overflow = bad_kernel.trajectory_bad_counts(
             positions, cells, species_idx, cutoff_matrix, n_species,
-            float(dtheta), n_hist_bins, max_neighbors, chunk,
+            float(dtheta), n_hist_bins, max_neighbors, chunk, by_cn=by_cn,
         )
         if not bool(overflow):
             break
@@ -191,7 +192,9 @@ class BadByCn(CoreBad):
             "Start computing bad by cn for %s frames with dtheta = %s",
             batch.num_frames, dtheta,
         )
-        counts, names, theta = _compute_counts(batch, nb_set_and_cutoff, dtheta)
+        counts, names, theta = _compute_counts(
+            batch, nb_set_and_cutoff, dtheta, by_cn=True
+        )
         # counts: [spec, cn(K+1), bins]
         per_spec = []
         kept_names = []

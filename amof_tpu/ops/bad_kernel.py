@@ -30,12 +30,18 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from amof_tpu.ops.pair_engine import frame_neighbor_table, min_image_delta
+from amof_tpu.ops.pair_engine import (
+    _mxu_histogram,
+    frame_neighbor_table,
+    min_image_delta,
+)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_species", "bins", "max_neighbors", "chunk", "n_i"),
+    static_argnames=(
+        "n_species", "bins", "max_neighbors", "chunk", "n_i", "by_cn"
+    ),
 )
 def frame_bad_counts(
     positions,  # [N, 3] padded
@@ -49,14 +55,18 @@ def frame_bad_counts(
     chunk: int = 256,
     i_start=0,
     n_i: int = None,
+    by_cn: bool = False,
 ):
     """Angle histograms of one frame.
 
     ``i_start``/``n_i`` restrict the center atoms to an i-slice (atom-axis
-    sharding; see pair_engine.frame_rdf_counts).
+    sharding; see pair_engine.frame_rdf_counts). With ``by_cn`` the
+    histograms gain a coordination-number axis (BadByCn) at the cost of
+    a scatter path; without it (the default, enough for ``Bad``) the
+    histograms are MXU one-hot contractions, scatter-free.
 
     Returns:
-        concrete  f32[S, S, K+1, bins]
+        concrete  f32[S, S, K+1, bins]  (K+1 == 1 when by_cn=False)
         center_any f32[S, K+1, bins]
         overflow  bool[]
     """
@@ -70,8 +80,9 @@ def frame_bad_counts(
     )
     inv_cell = jnp.linalg.inv(cell)
     s2 = n_species * n_species
-    conc_total = s2 * (k_cap + 1) * bins
-    any_total = n_species * (k_cap + 1) * bins
+    cn_slots = (k_cap + 1) if by_cn else 1
+    conc_total = s2 * cn_slots * bins
+    any_total = n_species * cn_slots * bins
 
     def chunk_hist(local_i0, acc):
         conc_acc, any_acc = acc
@@ -108,60 +119,71 @@ def frame_bad_counts(
             & (si >= 0)[:, None, None]
         )
 
-        # per-(center, b) neighbor counts: cn_b[chunk, S]
-        onehot_sj = (
-            sj[:, :, None]
-            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_species), 2)
-        )
-        cn_b = jnp.sum(onehot_sj, axis=1).astype(jnp.int32)  # [chunk, S]
-        cn_all = cnt  # [chunk]
-
         # concrete: both outers share species b
         sjk = sj[:, :, None]  # species of slot k
         sjl = sj[:, None, :]
         same = pair_valid & (sjk == sjl) & (sjk >= 0)
         b_sp = jnp.maximum(sjk, 0)
         a_sp = jnp.maximum(si, 0)[:, None, None]
-        pair_species = jnp.broadcast_to(
-            jnp.maximum(sjk, 0), (chunk, k_cap, k_cap)
-        )
-        cn_of_pair = jnp.take_along_axis(
-            cn_b, pair_species.reshape(chunk, -1), axis=1
-        ).reshape(chunk, k_cap, k_cap)
+
+        if by_cn:
+            # per-(center, b) neighbor counts: cn_b[chunk, S]
+            onehot_sj = (
+                sj[:, :, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_species), 2)
+            )
+            cn_b = jnp.sum(onehot_sj, axis=1).astype(jnp.int32)  # [chunk, S]
+            pair_species = jnp.broadcast_to(
+                jnp.maximum(sjk, 0), (chunk, k_cap, k_cap)
+            )
+            cn_of_pair = jnp.take_along_axis(
+                cn_b, pair_species.reshape(chunk, -1), axis=1
+            ).reshape(chunk, k_cap, k_cap)
+            cn_all = jnp.broadcast_to(
+                cnt[:, None, None], (chunk, k_cap, k_cap)
+            )
+        else:
+            cn_of_pair = 0
+            cn_all = 0
+
         key_c = (
-            ((a_sp * n_species + b_sp) * (k_cap + 1) + cn_of_pair) * bins
-            + tbin
+            ((a_sp * n_species + b_sp) * cn_slots + cn_of_pair) * bins + tbin
         )
         key_c = jnp.where(same, key_c, conc_total)
-        conc_acc = conc_acc.at[key_c.reshape(-1)].add(
-            same.reshape(-1).astype(jnp.float32), mode="drop"
-        )
-
-        # center-any: every valid pair, cn = total neighbor count
-        key_a = (
-            (a_sp * (k_cap + 1) + cn_all[:, None, None]) * bins + tbin
-        )
+        key_a = (a_sp * cn_slots + cn_all) * bins + tbin
         key_a = jnp.where(pair_valid, key_a, any_total)
-        any_acc = any_acc.at[key_a.reshape(-1)].add(
-            pair_valid.reshape(-1).astype(jnp.float32), mode="drop"
-        )
+
+        if by_cn:
+            conc_acc = conc_acc.at[key_c.reshape(-1)].add(
+                same.reshape(-1).astype(jnp.float32), mode="drop"
+            )
+            any_acc = any_acc.at[key_a.reshape(-1)].add(
+                pair_valid.reshape(-1).astype(jnp.float32), mode="drop"
+            )
+        else:
+            conc_acc = conc_acc + _mxu_histogram(
+                key_c, same.astype(jnp.float32), conc_total
+            )
+            any_acc = any_acc + _mxu_histogram(
+                key_a, pair_valid.astype(jnp.float32), any_total
+            )
         return conc_acc, any_acc
 
     def body(c, acc):
         return chunk_hist(c * chunk, acc)
 
+    acc_shape_c = conc_total + 1 if by_cn else conc_total
+    acc_shape_a = any_total + 1 if by_cn else any_total
     conc, any_ = jax.lax.fori_loop(
         0, n_i // chunk, body,
         (
-            jnp.zeros(conc_total + 1, jnp.float32),
-            jnp.zeros(any_total + 1, jnp.float32),
+            jnp.zeros(acc_shape_c, jnp.float32),
+            jnp.zeros(acc_shape_a, jnp.float32),
         ),
     )
-    return (
-        conc[:-1].reshape(n_species, n_species, k_cap + 1, bins),
-        any_[:-1].reshape(n_species, k_cap + 1, bins),
-        overflow,
-    )
+    conc = conc[:conc_total].reshape(n_species, n_species, cn_slots, bins)
+    any_ = any_[:any_total].reshape(n_species, cn_slots, bins)
+    return conc, any_, overflow
 
 
 def select_spec_counts(concrete, center_any, spec: Tuple[int, int]):
@@ -184,6 +206,7 @@ def trajectory_bad_counts(
     bins,
     max_neighbors=24,
     chunk=256,
+    by_cn=False,
 ):
     """Accumulate over frames; returns (concrete, center_any, overflow)."""
 
@@ -191,7 +214,7 @@ def trajectory_bad_counts(
         pos, cell = args
         return frame_bad_counts(
             pos, cell, species_idx, cutoff_matrix, n_species, dtheta, bins,
-            max_neighbors, chunk,
+            max_neighbors, chunk, by_cn=by_cn,
         )
 
     conc, any_, overflow = jax.lax.map(one, (positions, cells))

@@ -80,30 +80,51 @@ def min_image_delta(delta, cell, inv_cell):
     return matvec3(frac, cell)
 
 
-def _mxu_histogram(k, weight, total: int, lo: int = 128):
+def _mxu_histogram(k, weight, total: int, lo: int = 128,
+                   block: int = 65536):
     """Histogram of integer indices k (any shape) into ``total`` slots via
-    a hi/lo one-hot decomposition contracted as a matmul (MXU-friendly).
+    a hi/lo one-hot decomposition contracted as matmuls (MXU-friendly):
+    counts[hi, lo] += onehot_hi^T @ onehot_lo, accumulated over blocks of
+    at most ``block`` entries to bound the one-hot working set.
 
-    ``k`` may contain the sentinel ``total`` (overflow); an extra hi slot
-    absorbs it and is dropped.
+    One-hot operands are bf16 (0/1 exact) with f32 accumulation; per-dot
+    partial counts <= block stay exact. ``k`` may contain the sentinel
+    ``total`` (overflow); an extra hi row absorbs it and is dropped.
     """
+    assert lo & (lo - 1) == 0, "lo must be a power of two"
+    lo_bits = lo.bit_length() - 1
     hi = -(-total // lo) + 1  # +1 overflow row
     kf = k.reshape(-1)
-    wf = weight.reshape(-1, 1)
-    k_hi = kf // lo
-    k_lo = kf % lo
-    oh_hi = (k_hi[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, hi), 1)).astype(
-        jnp.float32
-    ) * wf
-    oh_lo = (k_lo[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, lo), 1)).astype(
-        jnp.float32
+    wf = weight.reshape(-1)
+    n = kf.shape[0]
+    pad = (-n) % block
+    if pad:
+        kf = jnp.concatenate([kf, jnp.full(pad, total, kf.dtype)])
+        wf = jnp.concatenate([wf, jnp.zeros(pad, wf.dtype)])
+    n_blocks = kf.shape[0] // block
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (1, hi), 1)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (1, lo), 1)
+
+    def body(i, acc):
+        kb = jax.lax.dynamic_slice(kf, (i * block,), (block,))
+        wb = jax.lax.dynamic_slice(wf, (i * block,), (block,))
+        # shifts, not div/mod: integer division crawls on the VPU
+        oh_hi = (
+            jnp.right_shift(kb, lo_bits)[:, None] == iota_hi
+        ).astype(jnp.bfloat16)
+        oh_hi = oh_hi * wb[:, None].astype(jnp.bfloat16)
+        oh_lo = (
+            jnp.bitwise_and(kb, lo - 1)[:, None] == iota_lo
+        ).astype(jnp.bfloat16)
+        return acc + jax.lax.dot_general(
+            oh_hi, oh_lo,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    counts2d = jax.lax.fori_loop(
+        0, n_blocks, body, jnp.zeros((hi, lo), jnp.float32)
     )
-    counts2d = jax.lax.dot_general(
-        oh_hi,
-        oh_lo,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [hi, lo]
     return counts2d.reshape(-1)[:total]
 
 
@@ -119,8 +140,25 @@ def _histogram(k, weight, total: int, method: str):
     return _scatter_histogram(k, weight, total)
 
 
+def _within_cutoff(d2, si_chunk, species_idx, cutoff_matrix, n_species):
+    """bool[chunk, N]: d2 < cutoff(s_i, s_j)^2, without per-pair gathers.
+
+    A [chunk, N] gather from the cutoff table serializes on TPU like a
+    scatter; instead gather the per-row cutoff columns (chunk-sized,
+    cheap) and unroll a compare per species."""
+    cut2_rows = (cutoff_matrix * cutoff_matrix)[jnp.maximum(si_chunk, 0)]
+    sp_row = species_idx[None, :]
+    valid = jnp.zeros(d2.shape, bool)
+    for s in range(n_species):
+        valid = valid | ((sp_row == s) & (d2 < cut2_rows[:, s][:, None]))
+    return valid
+
+
 def default_histogram_method() -> str:
-    return "mxu" if jax.default_backend() == "tpu" else "scatter"
+    """'mxu' on accelerators (scatter-add serializes on TPU; the one-hot
+    matmul rides the MXU), 'scatter' on CPU. Note TPU tunnels may report
+    a plugin platform name, so anything non-CPU counts as accelerator."""
+    return "scatter" if jax.default_backend() == "cpu" else "mxu"
 
 
 # --------------------------------------------------------------------------
@@ -171,8 +209,10 @@ def frame_rdf_counts(
         b = jnp.floor(d * inv_dr).astype(jnp.int32)
         gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 0)
         gj = jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 1)
+        # count each unordered pair once (i < j) and symmetrize at the
+        # end — halves the histogram work
         valid = (
-            (gi != gj)
+            (gi < gj)
             & (si[:, None] >= 0)
             & (species_idx[None, :] >= 0)
             & (b < bins)
@@ -183,7 +223,8 @@ def frame_rdf_counts(
 
     starts = i_start + jnp.arange(0, n_i, chunk)
     counts = jax.lax.map(chunk_counts, starts)
-    return jnp.sum(counts, axis=0).reshape(n_species, n_species, bins)
+    half = jnp.sum(counts, axis=0).reshape(n_species, n_species, bins)
+    return half + half.transpose(1, 0, 2)
 
 
 def trajectory_rdf_counts(
@@ -234,12 +275,19 @@ def frame_cn_counts(
     #{(i in a, j in b) : d_ij < cutoff[a, b]} — the device equivalent of
     the per-atom counting loop at amof/cn.py:58-73 (summed over atoms;
     divide by N_a for the mean CN). ``i_start``/``n_i`` shard the i-atom
-    range (see frame_rdf_counts)."""
+    range (see frame_rdf_counts).
+
+    No scatters: counts[a, b] contract as one-hot matmuls
+    (oh_i^T @ valid @ oh_j) — scatter-add serializes on TPU."""
     n = positions.shape[0]
     if n_i is None:
         n_i = n
     inv_cell = jnp.linalg.inv(cell)
     sp_safe = jnp.maximum(species_idx, 0)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, n_species), 1)
+    oh_j = (
+        (sp_safe[:, None] == iota_s) & (species_idx[:, None] >= 0)
+    ).astype(jnp.bfloat16)  # [N, S]
 
     def chunk_counts(i0):
         pi = jax.lax.dynamic_slice(positions, (i0, 0), (chunk, 3))
@@ -247,23 +295,31 @@ def frame_cn_counts(
         delta = positions[None, :, :] - pi[:, None, :]
         delta = min_image_delta(delta, cell, inv_cell)
         d2 = jnp.sum(delta * delta, axis=-1)
-        cut = cutoff_matrix[jnp.maximum(si, 0)[:, None], sp_safe[None, :]]
         gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 0)
         gj = jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 1)
+        # unordered pairs (i < j), symmetrized at the end — the cutoff
+        # matrix is symmetric so both directions agree
         valid = (
-            (gi != gj)
+            (gi < gj)
             & (si[:, None] >= 0)
-            & (species_idx[None, :] >= 0)
-            & (d2 < cut * cut)
+            & _within_cutoff(d2, si, species_idx, cutoff_matrix, n_species)
+        ).astype(jnp.bfloat16)
+        oh_i = (si[:, None] == iota_s).astype(jnp.bfloat16)  # [chunk, S]
+        per_i = jax.lax.dot_general(  # [chunk, S_j]
+            valid, oh_j,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        pair = jnp.where(
-            valid, jnp.maximum(si, 0)[:, None] * n_species + sp_safe[None, :], n_species * n_species
+        return jax.lax.dot_general(  # [S_i, S_j]
+            oh_i.astype(jnp.float32), per_i,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        return _scatter_histogram(pair, valid.astype(jnp.float32), n_species * n_species)
 
     starts = i_start + jnp.arange(0, n_i, chunk)
     counts = jax.lax.map(chunk_counts, starts)
-    return jnp.sum(counts, axis=0).reshape(n_species, n_species)
+    half = jnp.sum(counts, axis=0)
+    return half + half.T
 
 
 # --------------------------------------------------------------------------
@@ -306,22 +362,21 @@ def frame_neighbor_table(
         delta = positions[None, :, :] - pi[:, None, :]
         delta = min_image_delta(delta, cell, inv_cell)
         d2 = jnp.sum(delta * delta, axis=-1)  # [chunk, N]
-        cut = cutoff_matrix[jnp.maximum(si, 0)[:, None], sp_safe[None, :]]
         gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 0)
         gj = jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 1)
+        n_species = cutoff_matrix.shape[0]
         valid = (
             (gi != gj)
             & (si[:, None] >= 0)
-            & (species_idx[None, :] >= 0)
-            & (d2 < cut * cut)
+            & _within_cutoff(d2, si, species_idx, cutoff_matrix, n_species)
         )
         cnt = jnp.sum(valid, axis=1).astype(jnp.int32)
-        rank = jnp.cumsum(valid, axis=1) - 1  # unique per row among valid
-        slot = jnp.where(valid, jnp.minimum(rank, max_neighbors), max_neighbors)
-        idx = jnp.full((chunk, max_neighbors + 1), n, jnp.int32)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 0)
-        idx = idx.at[rows, slot].set(jnp.where(valid, gj, n), mode="drop")
-        return idx[:, :max_neighbors], cnt
+        # compact valid columns via top_k (scatter-free): score valid
+        # entries by descending j so indices come out ascending
+        score = jnp.where(valid, n - gj, -1)
+        top_vals, top_idx = jax.lax.top_k(score, max_neighbors)
+        idx = jnp.where(top_vals > 0, top_idx.astype(jnp.int32), n)
+        return idx, cnt
 
     starts = i_start + jnp.arange(0, n_i, chunk)
     nbr_idx, nbr_cnt = jax.lax.map(chunk_table, starts)
