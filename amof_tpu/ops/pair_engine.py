@@ -80,8 +80,11 @@ def min_image_delta(delta, cell, inv_cell):
     return matvec3(frac, cell)
 
 
+MXU_HISTOGRAM_BLOCK = 8192  # keep one-hot working sets VMEM-resident
+
+
 def _mxu_histogram(k, weight, total: int, lo: int = 128,
-                   block: int = 65536):
+                   block: int = None):
     """Histogram of integer indices k (any shape) into ``total`` slots via
     a hi/lo one-hot decomposition contracted as matmuls (MXU-friendly):
     counts[hi, lo] += onehot_hi^T @ onehot_lo, accumulated over blocks of
@@ -91,6 +94,8 @@ def _mxu_histogram(k, weight, total: int, lo: int = 128,
     partial counts <= block stay exact. ``k`` may contain the sentinel
     ``total`` (overflow); an extra hi row absorbs it and is dropped.
     """
+    if block is None:
+        block = MXU_HISTOGRAM_BLOCK
     assert lo & (lo - 1) == 0, "lo must be a power of two"
     lo_bits = lo.bit_length() - 1
     hi = -(-total // lo) + 1  # +1 overflow row
@@ -102,20 +107,20 @@ def _mxu_histogram(k, weight, total: int, lo: int = 128,
         kf = jnp.concatenate([kf, jnp.full(pad, total, kf.dtype)])
         wf = jnp.concatenate([wf, jnp.zeros(pad, wf.dtype)])
     n_blocks = kf.shape[0] // block
-    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (1, hi), 1)
-    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (1, lo), 1)
+    # narrow key dtype when the key space fits: 2x VPU compare lanes
+    kdt = jnp.int16 if total + 1 < 2**15 else jnp.int32
+    iota_hi = jax.lax.broadcasted_iota(kdt, (1, hi), 1)
+    iota_lo = jax.lax.broadcasted_iota(kdt, (1, lo), 1)
 
     def body(i, acc):
         kb = jax.lax.dynamic_slice(kf, (i * block,), (block,))
         wb = jax.lax.dynamic_slice(wf, (i * block,), (block,))
         # shifts, not div/mod: integer division crawls on the VPU
-        oh_hi = (
-            jnp.right_shift(kb, lo_bits)[:, None] == iota_hi
-        ).astype(jnp.bfloat16)
+        k_hi = jnp.right_shift(kb, lo_bits).astype(kdt)
+        k_lo = jnp.bitwise_and(kb, lo - 1).astype(kdt)
+        oh_hi = (k_hi[:, None] == iota_hi).astype(jnp.bfloat16)
         oh_hi = oh_hi * wb[:, None].astype(jnp.bfloat16)
-        oh_lo = (
-            jnp.bitwise_and(kb, lo - 1)[:, None] == iota_lo
-        ).astype(jnp.bfloat16)
+        oh_lo = (k_lo[:, None] == iota_lo).astype(jnp.bfloat16)
         return acc + jax.lax.dot_general(
             oh_hi, oh_lo,
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -165,10 +170,6 @@ def default_histogram_method() -> str:
 # RDF: species-pair-resolved distance histogram
 # --------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_species", "bins", "chunk", "method", "n_i"),
-)
 def frame_rdf_counts(
     positions,  # [N, 3] (padded)
     cell,  # [3, 3]
@@ -192,37 +193,94 @@ def frame_rdf_counts(
     multichip path uses to shard the pair loop over an 'atoms' mesh axis
     (each device histograms its own i-slice against all j, partials are
     psum-merged).
+
+    Each unordered pair is counted once (i < j) and the histogram is
+    symmetrized at the end; when the i-range is static (single-chip
+    path) the j-axis is tiled triangularly so the skipped half is never
+    even touched.
     """
     n = positions.shape[0]
     if n_i is None:
         n_i = n
+    # python-level dispatch (runs at trace time of the enclosing jit, so
+    # i_start staticness is still observable here)
+    static_range = isinstance(i_start, int)
+    if method == "pallas":
+        if not (static_range and i_start == 0 and n_i == n):
+            raise ValueError(
+                "method='pallas' requires the full static i-range; "
+                "use 'mxu' on atom-sharded paths"
+            )
+        from amof_tpu.ops.pallas_rdf import pallas_rdf_counts
+
+        return pallas_rdf_counts(
+            positions, cell, species_idx, dr, n_species, bins,
+            ti=256, tj=_pick_chunk(n, 1024),
+        )
+    return _frame_rdf_counts_xla(
+        positions, cell, species_idx, dr,
+        i_start if not static_range else 0,
+        n_species=n_species, bins=bins, chunk=chunk, method=method,
+        n_i=n_i, i_start_static=i_start if static_range else None,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_species", "bins", "chunk", "method", "n_i", "i_start_static"
+    ),
+)
+def _frame_rdf_counts_xla(
+    positions, cell, species_idx, dr, i_start_dyn,
+    *, n_species, bins, chunk, method, n_i, i_start_static,
+):
+    n = positions.shape[0]
+    static_range = i_start_static is not None
+    i_start = i_start_static if static_range else i_start_dyn
     total = n_species * n_species * bins
     inv_cell = jnp.linalg.inv(cell)
     inv_dr = 1.0 / dr
 
-    def chunk_counts(i0):
+    def tile_counts(i0, j0, tj):
         pi = jax.lax.dynamic_slice(positions, (i0, 0), (chunk, 3))
         si = jax.lax.dynamic_slice(species_idx, (i0,), (chunk,))
-        delta = positions[None, :, :] - pi[:, None, :]
+        pj = jax.lax.dynamic_slice(positions, (j0, 0), (tj, 3))
+        sj = jax.lax.dynamic_slice(species_idx, (j0,), (tj,))
+        delta = pj[None, :, :] - pi[:, None, :]
         delta = min_image_delta(delta, cell, inv_cell)
         d = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
         b = jnp.floor(d * inv_dr).astype(jnp.int32)
-        gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 0)
-        gj = jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 1)
-        # count each unordered pair once (i < j) and symmetrize at the
-        # end — halves the histogram work
+        gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, tj), 0)
+        gj = j0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, tj), 1)
         valid = (
             (gi < gj)
             & (si[:, None] >= 0)
-            & (species_idx[None, :] >= 0)
+            & (sj[None, :] >= 0)
             & (b < bins)
         )
-        pair = si[:, None] * n_species + species_idx[None, :]
+        pair = si[:, None] * n_species + sj[None, :]
         k = jnp.where(valid, pair * bins + b, total)
         return _histogram(k, jnp.ones_like(d), total, method)
 
-    starts = i_start + jnp.arange(0, n_i, chunk)
-    counts = jax.lax.map(chunk_counts, starts)
+    if static_range:
+        # triangular tiling: only j-tiles that can contain j > i
+        tj = _pick_chunk(n, 2048)  # must divide n (dynamic_slice clamps)
+        tiles = np.array(
+            [
+                (i_start + di, j0)
+                for di in range(0, n_i, chunk)
+                for j0 in range(0, n, tj)
+                if j0 + tj > i_start + di
+            ],
+            dtype=np.int32,
+        ).reshape(-1, 2)
+        counts = jax.lax.map(
+            lambda t: tile_counts(t[0], t[1], tj), jnp.asarray(tiles)
+        )
+    else:
+        starts = i_start + jnp.arange(0, n_i, chunk)
+        counts = jax.lax.map(lambda i0: tile_counts(i0, 0, n), starts)
     half = jnp.sum(counts, axis=0).reshape(n_species, n_species, bins)
     return half + half.transpose(1, 0, 2)
 

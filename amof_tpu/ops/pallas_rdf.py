@@ -1,0 +1,189 @@
+"""
+Pallas TPU kernel: fused minimum-image pair-distance histogram.
+
+The speed-of-light version of ``pair_engine.frame_rdf_counts``: one pass
+over (i, j) atom tiles computes triclinic minimum-image distances,
+species-pair-combined bin keys, and accumulates the histogram as
+hi/lo one-hot contractions on the MXU — all VMEM-resident (the XLA
+version spills one-hot blocks to HBM; this kernel's working set is a
+few hundred KB).
+
+Layouts:
+  * atoms_i f32[N, 8]: per-atom row (x, y, z, species, 0...) — i side
+    loads [TI, 8] tiles (sublane-major for row broadcasts);
+  * atoms_j f32[8, N]: transposed copy — j side loads [8, TJ] tiles
+    (lane-major so coordinates broadcast along lanes);
+  * scalars (inv_cell, cell, 1/dr) ride in a scalar-prefetch vector.
+
+Each unordered pair is counted once (i < j; the caller symmetrizes),
+and the grid enumerates only j-tiles that can contain j > i. The
+histogram output is [S^2 * bins] rounded up to a [H, 128] block with a
+sentinel row absorbing masked pairs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LO = 128  # lane width of the histogram decomposition
+
+WRAP_EPS = 1e-7
+
+
+def _kernel(scalars, atoms_i_ref, atoms_j_ref, out_ref, acc_ref,
+            kh_ref, kl_ref, *, n_species, bins, ti, tj, hi, n_atoms):
+    i_t = pl.program_id(0)
+    j_t = pl.program_id(1)
+    total = n_species * n_species * bins
+
+    @pl.when(jnp.logical_and(i_t == 0, j_t == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # triangular skip: this j-tile must be able to contain j > i
+    @pl.when((j_t + 1) * tj > i_t * ti)
+    def _compute():
+        _tile_body(scalars, atoms_i_ref, atoms_j_ref, out_ref, acc_ref,
+                   kh_ref, kl_ref, i_t, j_t, n_species, bins, ti, tj, hi,
+                   n_atoms)
+
+
+def _tile_body(scalars, atoms_i_ref, atoms_j_ref, out_ref, acc_ref,
+               kh_ref, kl_ref, i_t, j_t, n_species, bins, ti, tj, hi,
+               n_atoms):
+    total = n_species * n_species * bins
+    # tile coordinates
+    xi = atoms_i_ref[:, 0:3]  # [TI, 3]
+    si = atoms_i_ref[:, 3:4]  # [TI, 1] (species as float, -1 padding)
+    xj = atoms_j_ref[0:3, :]  # [3, TJ]
+    sj = atoms_j_ref[3:4, :]  # [1, TJ]
+
+    # raw deltas per coordinate: [TI, TJ]
+    dx = xj[0:1, :] - xi[:, 0:1]
+    dy = xj[1:2, :] - xi[:, 1:2]
+    dz = xj[2:3, :] - xi[:, 2:3]
+
+    # fractional wrap (row-vector convention: f = d @ inv_cell)
+    inv = [scalars[k] for k in range(9)]  # inv_cell row-major
+    cel = [scalars[9 + k] for k in range(9)]  # cell row-major
+    inv_dr = scalars[18]
+    fx = dx * inv[0] + dy * inv[3] + dz * inv[6]
+    fy = dx * inv[1] + dy * inv[4] + dz * inv[7]
+    fz = dx * inv[2] + dy * inv[5] + dz * inv[8]
+    fx = fx - jnp.floor(fx + (0.5 + WRAP_EPS))
+    fy = fy - jnp.floor(fy + (0.5 + WRAP_EPS))
+    fz = fz - jnp.floor(fz + (0.5 + WRAP_EPS))
+    wx = fx * cel[0] + fy * cel[3] + fz * cel[6]
+    wy = fx * cel[1] + fy * cel[4] + fz * cel[7]
+    wz = fx * cel[2] + fy * cel[5] + fz * cel[8]
+    d = jnp.sqrt(wx * wx + wy * wy + wz * wz)
+
+    b = jnp.floor(d * inv_dr).astype(jnp.int32)  # [TI, TJ]
+    pair = (si.astype(jnp.int32) * n_species + sj.astype(jnp.int32))
+    key = pair * bins + b
+
+    gi = i_t * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+    gj = j_t * tj + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+    valid = (
+        (gi < gj)
+        & (si >= 0)
+        & (sj >= 0)
+        & (b < bins)
+        & (gj < n_atoms)
+    )
+    key = jnp.where(valid, key, total)  # sentinel -> last hi row
+
+    kh_ref[:] = jnp.right_shift(key, 7).astype(jnp.int32)  # [TI, TJ]
+    kl_ref[:] = jnp.bitwise_and(key, LO - 1).astype(jnp.int32)
+
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi, 1), 0)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (LO, 1), 0)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def row_body(r, _):
+        krh = kh_ref[pl.ds(r, 1), :]  # [1, TJ]
+        krl = kl_ref[pl.ds(r, 1), :]
+        oh_h = (krh == iota_h).astype(jnp.bfloat16)  # [H, TJ]
+        oh_l = (krl == iota_l).astype(jnp.bfloat16)  # [LO, TJ]
+        acc_ref[:] += jax.lax.dot_general(
+            oh_h, oh_l,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, ti, row_body, 0)
+    out_ref[:] += acc_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_species", "bins", "ti", "tj", "interpret"),
+)
+def pallas_rdf_counts(
+    positions,  # [N, 3] f32, padded N (species -1 marks padding)
+    cell,  # [3, 3]
+    species_idx,  # [N] i32
+    dr,
+    n_species: int,
+    bins: int,
+    ti: int = 256,
+    tj: int = 512,
+    interpret: bool = False,
+):
+    """Species-pair distance histogram [S, S, bins] of one frame
+    (drop-in for pair_engine.frame_rdf_counts, ordered counts)."""
+    n = positions.shape[0]
+    total = n_species * n_species * bins
+    hi = -(-total // LO) + 1  # sentinel row included
+
+    sp_f = species_idx.astype(jnp.float32)
+    atoms_i = jnp.concatenate(
+        [positions, sp_f[:, None], jnp.zeros((n, 4), jnp.float32)], axis=1
+    )  # [N, 8]
+    atoms_j = atoms_i.T.reshape(8, n)  # transpose once in XLA
+
+    inv_cell = jnp.linalg.inv(cell)
+    scalars = jnp.concatenate(
+        [inv_cell.reshape(-1), cell.reshape(-1),
+         jnp.array([1.0 / dr], cell.dtype)]
+    ).astype(jnp.float32)
+
+    n_i = -(-n // ti)
+    n_j = -(-n // tj)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_i, n_j),
+        in_specs=[
+            pl.BlockSpec((ti, 8), lambda i, j, s: (i, 0)),
+            pl.BlockSpec((8, tj), lambda i, j, s: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((hi, LO), lambda i, j, s: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((hi, LO), jnp.float32),
+            pltpu.VMEM((ti, tj), jnp.int32),
+            pltpu.VMEM((ti, tj), jnp.int32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel, n_species=n_species, bins=bins, ti=ti, tj=tj, hi=hi,
+        n_atoms=n,
+    )
+    counts2d = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((hi, LO), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(scalars, atoms_i, atoms_j)
+
+    half = counts2d.reshape(-1)[:total].reshape(n_species, n_species, bins)
+    return half + half.transpose(1, 0, 2)

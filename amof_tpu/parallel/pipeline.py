@@ -64,8 +64,11 @@ def _make_step(
     def step(positions, cells, volumes, species_idx, cutoff_matrix, masses):
         # positions: [F_loc, A_loc, 3]; cells/volumes: [F_loc, ...]
         # species_idx/cutoff_matrix/masses: replicated
-        a_idx = jax.lax.axis_index("atoms")
-        i0 = a_idx * a_local
+        if atoms_ax == 1:
+            i0 = 0  # static full range -> pallas-eligible
+        else:
+            a_idx = jax.lax.axis_index("atoms")
+            i0 = a_idx * a_local
 
         pos_atoms_full = jax.lax.all_gather(
             positions, "atoms", axis=1, tiled=True
@@ -204,6 +207,11 @@ class FusedAnalysis:
         bins = int(rmax // self.dr)
 
         atoms_ax = mesh.shape["atoms"]
+        method = self.method
+        if method == "pallas" and atoms_ax > 1:
+            # the pallas kernel owns the whole i-range; atom-sharded
+            # meshes use the XLA mxu path instead
+            method = "mxu"
         # every device's atom slice must itself divide into chunks
         pad_multiple = self.chunk * atoms_ax
         positions, species_idx = pair_engine.pad_atoms(
@@ -237,7 +245,7 @@ class FusedAnalysis:
 
         step_fn = _make_step(
             mesh, n_species, bins, float(self.dr), bad_bins,
-            float(self.dtheta), self.max_neighbors, self.chunk, self.method,
+            float(self.dtheta), self.max_neighbors, self.chunk, method,
             positions.shape[1], self.with_bad, self.with_msd,
             self.origin_policy,
         )

@@ -54,7 +54,7 @@ def main():
     parser.add_argument("--atoms", type=int, default=10240)
     parser.add_argument("--dr", type=float, default=0.02)
     parser.add_argument("--dtheta", type=float, default=0.05)
-    parser.add_argument("--chunk", type=int, default=64)
+    parser.add_argument("--chunk", type=int, default=128)
     parser.add_argument("--method", type=str, default=None)
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--smoke", action="store_true",
@@ -68,6 +68,9 @@ def main():
 
     from amof_tpu.parallel.mesh import analysis_mesh
     from amof_tpu.parallel.pipeline import FusedAnalysis
+
+    if args.method is None and jax.default_backend() != "cpu":
+        args.method = "pallas"  # fused Mosaic RDF kernel (frames-only mesh)
 
     print(
         f"bench: devices={jax.devices()} frames={args.frames} "
