@@ -199,6 +199,31 @@ class Trajectory:
     def __init__(self, frames: Iterable[Frame] = ()):
         self.frames: List[Frame] = list(frames)
 
+    @property
+    def traj(self) -> List[Frame]:
+        """Reference attribute name for the frame list (trajectory.py:34)."""
+        return self.frames
+
+    @classmethod
+    def from_traj(cls, filename, index=None, format=None, unzip=False):
+        """Read a trajectory file (parity: amof/trajectory.py:38-60;
+        gzip is handled transparently regardless of ``unzip``)."""
+        del format, unzip
+        from amof_tpu.io.xyz import read_xyz
+
+        frames = read_xyz(filename, index if index is not None else ":")
+        if isinstance(frames, Frame):
+            frames = [frames]
+        return cls(frames)
+
+    @classmethod
+    def from_lammps_data(cls, filename, atom_style):
+        """Single-frame trajectory from a LAMMPS data file
+        (parity: amof/trajectory.py:62-74)."""
+        from amof_tpu.io.lammps import read_lammps_data
+
+        return cls([read_lammps_data(filename, atom_style)])
+
     def __len__(self):
         return len(self.frames)
 

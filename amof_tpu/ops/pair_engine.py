@@ -429,11 +429,16 @@ def frame_neighbor_table(
             & _within_cutoff(d2, si, species_idx, cutoff_matrix, n_species)
         )
         cnt = jnp.sum(valid, axis=1).astype(jnp.int32)
-        # compact valid columns via top_k (scatter-free): score valid
-        # entries by descending j so indices come out ascending
-        score = jnp.where(valid, n - gj, -1)
-        top_vals, top_idx = jax.lax.top_k(score, max_neighbors)
-        idx = jnp.where(top_vals > 0, top_idx.astype(jnp.int32), n)
+        # compact valid columns with K successive masked min-reductions
+        # (scatter-free and much cheaper than top_k on TPU); empty slots
+        # hold the sentinel n, indices come out ascending
+        score = jnp.where(valid, gj, n)  # [chunk, N]
+        idx_cols = []
+        for _ in range(max_neighbors):
+            picked = jnp.min(score, axis=1)  # [chunk]
+            idx_cols.append(picked)
+            score = jnp.where(score == picked[:, None], n, score)
+        idx = jnp.stack(idx_cols, axis=1).astype(jnp.int32)
         return idx, cnt
 
     starts = i_start + jnp.arange(0, n_i, chunk)

@@ -83,7 +83,7 @@ def main():
         {"Zn-N": 2.0, "C-C": 1.75, "C-N": 1.73, "C-H": 1.3},
         dr=args.dr, dtheta=args.dtheta, chunk=args.chunk,
         method=args.method, with_bad=True, with_msd=True,
-        max_neighbors=32,
+        max_neighbors=16,
     )
     step_fn, fargs, meta = fa.prepare(batch, mesh=mesh)
 
