@@ -178,3 +178,32 @@ class TestNeighborList:
         back = DummySymbols.from_file(tmp_path / "test")
         assert back.get_name("Fr") == "Im"
         assert back.get_symbol("Zn") == "Zn"
+
+
+class TestCif:
+    def test_roundtrip(self, tmp_path, zif4_frame):
+        from amof_tpu.io.cif import read_cif, write_cif
+
+        path = tmp_path / "zif4.cif"
+        write_cif(path, zif4_frame)
+        back = read_cif(path)
+        assert len(back) == len(zif4_frame)
+        assert back.get_chemical_symbols() == zif4_frame.get_chemical_symbols()
+        # positions equal modulo wrapping into the cell
+        from amof_tpu.core.cellmath import min_image_distance
+
+        d = min_image_distance(back.positions, zif4_frame.positions,
+                               zif4_frame.cell)
+        assert np.max(d) < 1e-4
+
+    def test_non_p1_raises(self, tmp_path):
+        path = tmp_path / "sym.cif"
+        path.write_text(
+            "data_x\n_cell_length_a 5\n_cell_length_b 5\n_cell_length_c 5\n"
+            "_cell_angle_alpha 90\n_cell_angle_beta 90\n_cell_angle_gamma 90\n"
+            "_symmetry_space_group_name_H-M 'F m -3 m'\n"
+        )
+        from amof_tpu.io.cif import read_cif
+
+        with pytest.raises(ValueError):
+            read_cif(path)
