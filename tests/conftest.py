@@ -15,6 +15,16 @@ import pathlib
 import numpy as np
 import pytest
 
+# The environment's sitecustomize imports jax (and registers the TPU
+# tunnel backend) before this conftest runs, so the env var alone can be
+# too late — force the platform through the config API as well.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:  # noqa: BLE001 — jax may legitimately be absent
+    pass
+
 from amof_tpu.core.frames import Frame
 
 REFERENCE_ZIF4 = pathlib.Path("/root/reference/examples/files/ZIF-4.xyz")

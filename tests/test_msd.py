@@ -38,7 +38,9 @@ class TestMsdKernel:
         )
         for m in [0, 1, 5, 17, 31]:
             ref = reference_window_msd(list(steps), m)
-            assert msd_fft[m] == pytest.approx(ref, rel=1e-4), m
+            # rel 5e-4: f32 FFT accumulation differs slightly across
+            # backends (CPU vs TPU)
+            assert msd_fft[m] == pytest.approx(ref, rel=5e-4), m
 
     def test_standard_estimator(self):
         """'standard' includes all origins: check vs brute force."""
