@@ -216,12 +216,22 @@ def network(frame_or_file, **kwargs) -> Dict[str, float]:
     writing .sa/.vol files (parity: amof/pore/pysimmzeopp.py:52-158)."""
     frame = frame_or_file
     if isinstance(frame_or_file, str):
-        from amof_tpu.io.xyz import read_xyz
+        if str(frame_or_file).endswith(".cif"):
+            from amof_tpu.io.cif import read_cif
 
-        frame = read_xyz(frame_or_file, 0)
+            frame = read_cif(frame_or_file)
+        else:
+            from amof_tpu.io.xyz import read_xyz
+
+            frame = read_xyz(frame_or_file, 0)
     # translate pysimm kwarg names
     kwargs.pop("ha", None)  # grid resolution already 'high accuracy'
     kwargs.pop("atype_name", None)
+    for unsupported in ("block", "ray_atom", "extra", "mass"):
+        if kwargs.pop(unsupported, None):
+            raise NotImplementedError(
+                f"Zeo++ option {unsupported!r} is not implemented yet"
+            )
     if "radii" in kwargs and isinstance(kwargs["radii"], str):
         raise ValueError(
             "radii files are not supported; pass a {symbol: radius} dict"

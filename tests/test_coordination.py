@@ -192,3 +192,52 @@ class TestZifReduction:
         assert "zn" in lines[3 + 271].split()[1] or any(
             "zn" in ln.split()[1] for ln in lines[3:]
         )
+
+
+class TestMetalmIm:
+    def mim_frame(self):
+        """One idealized methylimidazolate (mIm, C4N2H5) ligand + Zn:
+        C3N2 pentagon, methyl C on the 2-position carbon with 3 H,
+        ring H on the other two carbons, Zn near one N."""
+        bond = 1.35
+        r = bond / (2 * np.sin(np.pi / 5))
+        center = np.array([7.0, 7.0, 7.0])
+        ang = [2 * np.pi * k / 5 for k in range(5)]
+        # ring order c0-n1-c2-n3-c4 (c2 sits between both N)
+        ring = [center + r * np.array([np.cos(a), np.sin(a), 0]) for a in ang]
+        species = [6, 7, 6, 7, 6]
+        pts = list(ring)
+
+        def outward(k, dist, dz=0.0):
+            return center + (r + dist) * np.array(
+                [np.cos(ang[k]), np.sin(ang[k]), 0]
+            ) + np.array([0, 0, dz])
+
+        # methyl C on c2 + its 3 H
+        c_me = outward(2, 1.5)
+        pts.append(c_me)
+        species.append(6)
+        for dz, dphi in [(0.9, 0.0), (-0.45, 0.5), (-0.45, -0.5)]:
+            pts.append(c_me + np.array([0.9 * np.cos(dphi), 0.9 * np.sin(dphi), dz]) * 0.9)
+            species.append(1)
+        # ring H on c0 and c4
+        pts.append(outward(0, 1.0))
+        species.append(1)
+        pts.append(outward(4, 1.0))
+        species.append(1)
+        # Zn near n1
+        pts.append(outward(1, 2.0))
+        species.append(30)
+        return Frame(pts, species, np.eye(3) * 14.0)
+
+    def test_mim_reduction(self):
+        f = self.mim_frame()
+        rt = amreduce.reduce_trajectory([f], "ZIF-8")
+        rs = rt.report_search
+        assert bool(rs["in_reduced_trajectory"].iloc[0]), rs.iloc[0].to_dict()
+        assert rs["number_of_nodes"].iloc[0] == 2  # Zn + one mIm
+        reduced = rt.trajectory[0]
+        syms = reduced.get_chemical_symbols()
+        assert syms.count("Zn") == 1
+        assert syms.count(rt.symbols.get_symbol("mIm")) == 1
+        assert bool(rs["H perfectly connected"].iloc[0])
