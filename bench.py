@@ -50,13 +50,13 @@ def make_trajectory(n_frames, n_atoms, seed=0):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--frames", type=int, default=32)
+    parser.add_argument("--frames", type=int, default=128)
     parser.add_argument("--atoms", type=int, default=10240)
     parser.add_argument("--dr", type=float, default=0.02)
     parser.add_argument("--dtheta", type=float, default=0.05)
     parser.add_argument("--chunk", type=int, default=128)
     parser.add_argument("--method", type=str, default=None)
-    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--repeats", type=int, default=2)
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes for a fast correctness run")
     args = parser.parse_args()

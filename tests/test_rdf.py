@@ -167,3 +167,20 @@ class TestRdf:
         # path ("Subjected to numerical errors in the integration step").
         assert 6.0 * 2 / 3 * 0.99 < cn.data["Na-Cl"][0] < 6.0 * 4 / 3 * 1.01
         assert cn.data["Na-Cl"][0] == pytest.approx(cn.data["Na-Cl"][1])
+
+
+class TestNptRdf:
+    def test_variable_cell_normalization(self):
+        """NPT: the same relative structure at two different volumes must
+        give the same g(r) peak positions scaled with the cell, and the
+        per-frame volume weighting must keep the ideal-gas tail at 1."""
+        rng = np.random.default_rng(11)
+        frac = rng.uniform(0, 1, (150, 3))
+        frames = []
+        for scale in [10.0, 10.0, 12.0, 12.0, 11.0]:
+            frames.append(
+                Frame(frac * scale, np.full(150, 18), np.eye(3) * scale)
+            )
+        rdf = amrdf.Rdf.from_trajectory(frames, dr=0.2)
+        far = rdf.data["r"] > 3.0
+        assert abs(rdf.data["X-X"][far].mean() - 1.0) < 0.08
