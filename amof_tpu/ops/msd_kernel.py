@@ -27,13 +27,12 @@ from amof_tpu.ops.pair_engine import min_image_delta
 
 
 @functools.partial(jax.jit, static_argnames=("origin_policy",))
-def windowed_msd_atom_sums(x, origin_policy: str = "amof"):
-    """Sum over atoms and origins of |r_{k+m} - r_k|^2 for every m.
+def windowed_msd_atom_series(x, origin_policy: str = "amof"):
+    """Per-atom sum over origins of |r_{k+m} - r_k|^2 for every m.
 
-    Building block shared by the single-chip path and the atom-sharded
-    multichip path (partial atom sums psum cleanly).
-
-    Returns: f32[T] (divide by N_atoms * (T - m) for the MSD).
+    Returns: f32[T, A] (sum over atoms of interest and divide by
+    N * (T - m) for the MSD). Building block for per-species splits and
+    the atom-sharded multichip path (partial atom sums psum cleanly).
     """
     T, A, _ = x.shape
     n_fft = 2 * T  # zero-pad for linear (non-circular) autocorrelation
@@ -54,7 +53,14 @@ def windowed_msd_atom_sums(x, origin_policy: str = "amof"):
     if origin_policy == "amof":
         # remove the k=0 origin pair (r_m vs r_0) the reference skips
         s = s - jnp.sum((x - x[0][None]) ** 2, axis=-1)
-    return jnp.sum(s, axis=1)
+    return s
+
+
+@functools.partial(jax.jit, static_argnames=("origin_policy",))
+def windowed_msd_atom_sums(x, origin_policy: str = "amof"):
+    """Sum over atoms and origins of |r_{k+m} - r_k|^2 for every m.
+    Returns f32[T]."""
+    return jnp.sum(windowed_msd_atom_series(x, origin_policy), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("origin_policy",))

@@ -128,14 +128,28 @@ def _make_step(
             )
             # padding atoms (mass 0) must not contribute displacement
             x = x * (m_local > 0)[None, :, None]
-            s = msd_kernel.windowed_msd_atom_sums(x, origin_policy)  # [F]
-            n_eff = jax.lax.psum(
-                jnp.sum((m_local > 0).astype(jnp.float32)), "atoms"
-            )
+            s = msd_kernel.windowed_msd_atom_series(x, origin_policy)  # [F, A_loc]
+            sp_local = jax.lax.dynamic_slice(species_idx, (i0,), (a_local,))
+            oh_sp = (
+                sp_local[:, None]
+                == jax.lax.broadcasted_iota(jnp.int32, (1, n_species), 1)
+            ).astype(jnp.float32)  # [A_loc, S]
+            msd_sp_sums = jax.lax.psum(
+                jax.lax.dot_general(
+                    s, oh_sp,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                ),
+                "atoms",
+            )  # [F, S]
+            n_sp = jax.lax.psum(jnp.sum(oh_sp, axis=0), "atoms")  # [S]
             t = pos_t.shape[0]
-            msd = jax.lax.psum(s, "atoms") / (
-                n_eff * (t - jnp.arange(t))
-            )
+            origins = (t - jnp.arange(t)).astype(jnp.float32)
+            msd_sp = msd_sp_sums / (n_sp[None, :] * origins[:, None])
+            out["msd_species"] = msd_sp.at[0].set(0.0)
+            n_eff = jnp.sum(n_sp)
+            msd = jnp.sum(msd_sp_sums, axis=1) / (n_eff * origins)
             out["msd"] = msd.at[0].set(0.0)
         return out
 
@@ -155,6 +169,7 @@ def _make_step(
     }
     if with_msd:
         out_specs["msd"] = P()
+        out_specs["msd_species"] = P()
 
     return jax.jit(
         shard_map(

@@ -51,7 +51,7 @@ class TestFusedPipeline:
             out, _ = fused.run(frames, mesh=mesh)
             for key in ref:
                 np.testing.assert_allclose(
-                    out[key], ref[key], rtol=1e-4, atol=1e-4,
+                    out[key], ref[key], rtol=1e-4, atol=1e-3,
                     err_msg=f"{key} differs on mesh {dict(mesh.shape)}",
                 )
 
