@@ -166,3 +166,21 @@ class TestPoreClass:
         assert 0.0 <= d["AV_Volume_fraction"][0] < 0.4
         assert d["ASA_A^2"][0] >= 0
         assert d["Density"][0] == pytest.approx(1.21, rel=0.02)
+
+
+class TestTriclinicPore:
+    def test_single_atom_triclinic(self):
+        """A lone atom in a triclinic box: AV = V - probe-padded sphere,
+        everything accessible (validates the fractional-grid geometry)."""
+        from amof_tpu.core import cellmath
+
+        cell = cellmath.cellpar_to_cell([13, 14, 15, 80, 95, 100])
+        center = np.array([0.5, 0.5, 0.5]) @ cell
+        f = Frame([center], [18], cell)
+        out = zeopp.analyze_frame(f, sa=True, vol=True, resolution=0.25)
+        r_eff = 1.88 + 1.2
+        v_sphere = 4 / 3 * np.pi * r_eff**3
+        v_cell = cellmath.volume(cell)
+        assert out["AV_A^3"] == pytest.approx(v_cell - v_sphere, rel=0.03)
+        assert out["NAV_A^3"] == 0.0
+        assert out["ASA_A^2"] == pytest.approx(4 * np.pi * r_eff**2, rel=1e-3)
