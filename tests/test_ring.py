@@ -217,3 +217,32 @@ class TestRingClass:
         assert back.data["ring"].allclose(ring.data["ring"])
         rs = (tmp_path / "t.report_search.csv")
         assert rs.exists()
+
+
+class TestScale:
+    def test_diamond_network_census(self):
+        """4-coordinated diamond net (the topology of a Zn-Im network):
+        exactly 2 hexagons per node, nothing else at depth 8."""
+        a = 5.0
+        base = np.array([
+            [0, 0, 0], [0, .5, .5], [.5, 0, .5], [.5, .5, 0],
+            [.25, .25, .25], [.25, .75, .75], [.75, .25, .75],
+            [.75, .75, .25],
+        ])
+        reps = 3
+        cells = np.array(
+            [[i, j, k] for i in range(reps) for j in range(reps)
+             for k in range(reps)]
+        )
+        frac_all = ((base[None] + cells[:, None]) / reps).reshape(-1, 3)
+        n = len(frac_all)
+        f = Frame(frac_all * a * reps, [6] * n, np.eye(3) * a * reps)
+        nn = a * np.sqrt(3) / 4
+        ring = amring.Ring.from_trajectory(
+            [f], {"C-C": nn * 1.1}, max_search_depth=8
+        )
+        arr = ring.data["ring"]
+        assert np.array_equal(arr.get_coord("ring_size"), [6])
+        assert arr.sel(ring_var="RC").values.ravel()[0] == 2 * n
+        pn = arr.sel(ring_var="PN", ring_size=6).values.item()
+        assert pn == 1.0
