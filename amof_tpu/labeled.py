@@ -139,9 +139,12 @@ def concat(arrays: Sequence[DataArray], dim: str, labels=None, fill=np.nan) -> D
     shape = (len(arrays),) + tuple(len(u) for u in unions)
     out = np.full(shape, fill, dtype=np.result_type(*(a.values.dtype for a in arrays), type(fill)))
     for k, a in enumerate(arrays):
-        # index of each of a's labels in the union
+        # index of each of a's labels in the union (int64 even when empty)
         idx = [
-            np.array([int(np.nonzero(u == v)[0][0]) for v in a.get_coord(d)])
+            np.array(
+                [int(np.nonzero(u == v)[0][0]) for v in a.get_coord(d)],
+                dtype=np.int64,
+            )
             for d, u in zip(base_dims, unions)
         ]
         out[(k,) + np.ix_(*idx)] = a.values
