@@ -99,8 +99,10 @@ def _tile_body(scalars, atoms_i_ref, atoms_j_ref, out_ref, acc_ref,
     )
     key = jnp.where(valid, key, total)  # sentinel -> last hi row
 
-    kh_ref[:] = jnp.right_shift(key, 7).astype(jnp.int32)  # [TI, TJ]
-    kl_ref[:] = jnp.bitwise_and(key, LO - 1).astype(jnp.int32)
+    # int32 keys: int16 scratch halves compare width but Mosaic cannot
+    # prove single-row dynamic slices against the (16, 128) int16 tiling
+    kh_ref[:] = jnp.right_shift(key, 7)  # [TI, TJ]
+    kl_ref[:] = jnp.bitwise_and(key, LO - 1)
 
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi, 1), 0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (LO, 1), 0)
