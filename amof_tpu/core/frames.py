@@ -224,6 +224,20 @@ class Trajectory:
 
         return cls([read_lammps_data(filename, atom_style)])
 
+    @staticmethod
+    def get_index_closest(my_list, my_number):
+        """Index of the closest value in a sorted list
+        (parity: amof/trajectory.py:76-94)."""
+        import bisect
+
+        pos = bisect.bisect_left(my_list, my_number)
+        if pos == 0:
+            return my_list[0]
+        if pos == len(my_list):
+            return my_list[-1]
+        before, after = my_list[pos - 1], my_list[pos]
+        return pos if after - my_number < my_number - before else pos - 1
+
     def __len__(self):
         return len(self.frames)
 

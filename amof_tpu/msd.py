@@ -39,6 +39,10 @@ class Msd:
         self.data.to_feather(path_to_output)
 
     @classmethod
+    def from_msd(cls, *args):
+        logger.exception("from_msd is deprecated, use from_file instead")
+
+    @classmethod
     def from_file(cls, path_to_msd):
         msd_class = cls()
         msd_class.read_msd_file(path_to_msd)

@@ -76,6 +76,10 @@ class Rdf:
         return rdf_class
 
     @classmethod
+    def from_rdf(cls, *args):
+        logger.exception("from_rdf is deprecated, use from_file instead")
+
+    @classmethod
     def from_file(cls, path_to_rdf):
         rdf_class = cls()
         rdf_class.read_rdf_file(path_to_rdf)
