@@ -59,6 +59,8 @@ def main():
     parser.add_argument("--repeats", type=int, default=2)
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes for a fast correctness run")
+    parser.add_argument("--no-bad", action="store_true")
+    parser.add_argument("--no-msd", action="store_true")
     args = parser.parse_args()
 
     if args.smoke:
@@ -82,8 +84,8 @@ def main():
     fa = FusedAnalysis(
         {"Zn-N": 2.0, "C-C": 1.75, "C-N": 1.73, "C-H": 1.3},
         dr=args.dr, dtheta=args.dtheta, chunk=args.chunk,
-        method=args.method, with_bad=True, with_msd=True,
-        max_neighbors=16,
+        method=args.method, with_bad=not args.no_bad,
+        with_msd=not args.no_msd, max_neighbors=16,
     )
     step_fn, fargs, meta = fa.prepare(batch, mesh=mesh)
 
@@ -91,8 +93,8 @@ def main():
         out = step_fn(*fargs)
         # force a full device->host sync: block_until_ready is not a
         # reliable barrier on remote-tunnel backends
-        float(np.asarray(out["msd"]).sum())
-        float(np.asarray(out["rdf_counts"]).sum())
+        for v in out.values():
+            float(np.asarray(v).sum())
         return out
 
     t0 = time.time()
@@ -114,8 +116,7 @@ def main():
 
     print(
         f"bench: times={['%.3f' % t for t in times]} "
-        f"rdf_total={float(np.asarray(out['rdf_counts']).sum()):.3e} "
-        f"msd[1]={float(np.asarray(out['msd'])[1]):.4f}",
+        f"rdf_total={float(np.asarray(out['rdf_counts']).sum()):.3e}",
         file=sys.stderr,
     )
     print(json.dumps({
