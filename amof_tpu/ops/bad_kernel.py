@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from amof_tpu.ops.pair_engine import (
     _mxu_histogram,
-    frame_neighbor_table,
+    frame_neighbor_payload_table,
     min_image_delta,
 )
 
@@ -74,7 +74,7 @@ def frame_bad_counts(
     if n_i is None:
         n_i = n
     k_cap = max_neighbors
-    nbr_idx, nbr_cnt, overflow = frame_neighbor_table(
+    nbr_pos, nbr_sp, nbr_cnt, overflow = frame_neighbor_payload_table(
         positions, cell, species_idx, cutoff_matrix, max_neighbors, chunk,
         i_start=i_start, n_i=n_i,
     )
@@ -84,37 +84,17 @@ def frame_bad_counts(
     conc_total = s2 * cn_slots * bins
     any_total = n_species * cn_slots * bins
 
-    # payload matrix for one-hot gathers: (x, y, z, species)
-    payload = jnp.concatenate(
-        [positions, species_idx.astype(jnp.float32)[:, None]], axis=1
-    )  # [N, 4]
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-
     def chunk_hist(local_i0, acc):
         conc_acc, any_acc = acc
-        idx = jax.lax.dynamic_slice(nbr_idx, (local_i0, 0), (chunk, k_cap))
+        pj = jax.lax.dynamic_slice(
+            nbr_pos, (local_i0, 0, 0), (chunk, k_cap, 3)
+        )
+        sj = jax.lax.dynamic_slice(nbr_sp, (local_i0, 0), (chunk, k_cap))
         cnt = jax.lax.dynamic_slice(nbr_cnt, (local_i0,), (chunk,))
         g0 = i_start + local_i0
         si = jax.lax.dynamic_slice(species_idx, (g0,), (chunk,))
         pi = jax.lax.dynamic_slice(positions, (g0, 0), (chunk, 3))
-
-        # one-hot matmul gather of neighbor payloads — row gathers with
-        # [chunk*K] indices serialize on TPU, the contraction doesn't
-        idx_flat = idx.reshape(chunk * k_cap, 1)
-        oh = (idx_flat == iota_n).astype(jnp.float32)
-        got = jax.lax.dot_general(
-            oh, payload,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        ).reshape(chunk, k_cap, 4)
-        pj = got[:, :, 0:3]  # [chunk, K, 3]; sentinel rows gather zeros
-        sj_f = got[:, :, 3]
-        slot_valid = (
-            jax.lax.broadcasted_iota(jnp.int32, (chunk, k_cap), 1)
-            < cnt[:, None]
-        )
-        sj = jnp.where(slot_valid, sj_f.astype(jnp.int32), -1)
+        slot_valid = sj >= 0
         vec = min_image_delta(pj - pi[:, None, :], cell, inv_cell)
         norm = jnp.sqrt(jnp.sum(vec * vec, axis=-1))
         unit = vec / jnp.maximum(norm, 1e-12)[..., None]

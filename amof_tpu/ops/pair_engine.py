@@ -387,6 +387,83 @@ def frame_cn_counts(
 @functools.partial(
     jax.jit, static_argnames=("max_neighbors", "chunk", "n_i")
 )
+def frame_neighbor_payload_table(
+    positions,  # [N, 3] (padded)
+    cell,
+    species_idx,  # [N]
+    cutoff_matrix,  # [S, S]
+    max_neighbors: int = 16,
+    chunk: int = 256,
+    i_start=0,
+    n_i: int = None,
+):
+    """Neighbor table that emits positions and species directly.
+
+    During each masked min-reduction of the compaction the selected
+    neighbor's payload is extracted with masked sums — no index gathers
+    anywhere (gathers serialize on TPU).
+
+    Returns:
+        nbr_pos f32[n_i, K, 3], nbr_sp i32[n_i, K] (-1 empty),
+        nbr_cnt i32[n_i], overflow bool[]
+    """
+    n = positions.shape[0]
+    if n_i is None:
+        n_i = n
+    inv_cell = jnp.linalg.inv(cell)
+    n_species = cutoff_matrix.shape[0]
+    px = positions[:, 0][None, :]
+    py = positions[:, 1][None, :]
+    pz = positions[:, 2][None, :]
+    sp_row = species_idx[None, :].astype(jnp.float32)
+
+    def chunk_table(i0):
+        pi = jax.lax.dynamic_slice(positions, (i0, 0), (chunk, 3))
+        si = jax.lax.dynamic_slice(species_idx, (i0,), (chunk,))
+        delta = positions[None, :, :] - pi[:, None, :]
+        delta = min_image_delta(delta, cell, inv_cell)
+        d2 = jnp.sum(delta * delta, axis=-1)  # [chunk, N]
+        gi = i0 + jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 0)
+        gj = jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 1)
+        valid = (
+            (gi != gj)
+            & (si[:, None] >= 0)
+            & _within_cutoff(d2, si, species_idx, cutoff_matrix, n_species)
+        )
+        cnt = jnp.sum(valid, axis=1).astype(jnp.int32)
+        score = jnp.where(valid, gj, n)
+        pos_cols, sp_cols = [], []
+        for _ in range(max_neighbors):
+            picked = jnp.min(score, axis=1)  # [chunk]
+            sel = (score == picked[:, None]) & (picked[:, None] < n)
+            selected_f = sel.astype(jnp.float32)
+            x = jnp.sum(selected_f * px, axis=1)
+            y = jnp.sum(selected_f * py, axis=1)
+            z = jnp.sum(selected_f * pz, axis=1)
+            s = jnp.where(
+                picked < n,
+                jnp.sum(selected_f * sp_row, axis=1).astype(jnp.int32),
+                -1,
+            )
+            pos_cols.append(jnp.stack([x, y, z], axis=-1))
+            sp_cols.append(s)
+            score = jnp.where(sel, n, score)
+        nbr_pos = jnp.stack(pos_cols, axis=1)  # [chunk, K, 3]
+        nbr_sp = jnp.stack(sp_cols, axis=1)  # [chunk, K]
+        return nbr_pos, nbr_sp, cnt
+
+    starts = i_start + jnp.arange(0, n_i, chunk)
+    nbr_pos, nbr_sp, nbr_cnt = jax.lax.map(chunk_table, starts)
+    k = max_neighbors
+    nbr_pos = nbr_pos.reshape(n_i, k, 3)
+    nbr_sp = nbr_sp.reshape(n_i, k)
+    nbr_cnt = nbr_cnt.reshape(n_i)
+    overflow = jnp.any(nbr_cnt > max_neighbors)
+    return nbr_pos, nbr_sp, jnp.minimum(nbr_cnt, max_neighbors), overflow
+
+@functools.partial(
+    jax.jit, static_argnames=("max_neighbors", "chunk", "n_i")
+)
 def frame_neighbor_table(
     positions,  # [N, 3] (padded)
     cell,
