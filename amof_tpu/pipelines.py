@@ -125,11 +125,8 @@ def analyze(
     msd_sp = np.asarray(out["msd_species"], dtype=np.float64)
     msd_all = np.asarray(out["msd"], dtype=np.float64)
     msd_data = pd.DataFrame({"Time": timestep * window})
-    counts_sym = {}
     for i, z in enumerate(unique):
-        sym = elements.symbol_of(z)
-        msd_data[sym] = msd_sp[window, i]
-        counts_sym[sym] = n_per_species[i]
+        msd_data[elements.symbol_of(z)] = msd_sp[window, i]
     msd_data["X"] = msd_all[window]
     msd_obj.data = msd_data
 
