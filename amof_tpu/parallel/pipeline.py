@@ -85,7 +85,7 @@ def _make_step(
                 chunk=chunk, i_start=i0, n_i=a_local,
             )
             if with_bad:
-                bad_c, bad_a, _overflow = bad_kernel.frame_bad_counts(
+                bad_c, bad_a, overflow = bad_kernel.frame_bad_counts(
                     pos, cell, species_idx, cutoff_matrix, n_species,
                     dtheta, bad_bins, max_neighbors, chunk,
                     i_start=i0, n_i=a_local,
@@ -93,21 +93,28 @@ def _make_step(
             else:
                 bad_c = jnp.zeros((1,), jnp.float32)
                 bad_a = jnp.zeros((1,), jnp.float32)
-            return rdf, cn, bad_c, bad_a
+                overflow = jnp.zeros((), bool)
+            return rdf, cn, bad_c, bad_a, overflow
 
-        rdf, cn, bad_c, bad_a = jax.lax.map(
+        rdf, cn, bad_c, bad_a, overflow = jax.lax.map(
             per_frame, (pos_atoms_full, cells, volumes)
         )
         rdf = jax.lax.psum(jnp.sum(rdf, axis=0), ("frames", "atoms"))
         cn = jax.lax.psum(cn, "atoms")  # per-frame, stays frame-sharded
         bad_c = jax.lax.psum(jnp.sum(bad_c, axis=0), ("frames", "atoms"))
         bad_a = jax.lax.psum(jnp.sum(bad_a, axis=0), ("frames", "atoms"))
+        overflow = jax.lax.pmax(
+            jnp.any(overflow).astype(jnp.int32), ("frames", "atoms")
+        )
 
         out = {
             "rdf_counts": rdf,
             "cn_counts": cn,
             "bad_concrete": bad_c,
             "bad_center_any": bad_a,
+            # nonzero => some atom had > max_neighbors within cutoff and
+            # the BAD histograms silently dropped angles; raise K
+            "bad_overflow": overflow,
         }
 
         if with_msd:
@@ -166,6 +173,7 @@ def _make_step(
         "cn_counts": P("frames", None, None),
         "bad_concrete": P(),
         "bad_center_any": P(),
+        "bad_overflow": P(),
     }
     if with_msd:
         out_specs["msd"] = P()
@@ -277,4 +285,13 @@ class FusedAnalysis:
     def run(self, batch, mesh=None) -> Dict[str, np.ndarray]:
         step_fn, args, meta = self.prepare(batch, mesh)
         out = step_fn(*args)
-        return {k: np.asarray(v) for k, v in out.items()}, meta
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if self.with_bad and out["bad_overflow"].any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "BAD neighbor table overflow: some atom has more than "
+                "max_neighbors=%d neighbors within cutoff; angles were "
+                "dropped. Increase max_neighbors.", self.max_neighbors,
+            )
+        return out, meta

@@ -119,6 +119,10 @@ def main():
         f"rdf_total={float(np.asarray(out['rdf_counts']).sum()):.3e}",
         file=sys.stderr,
     )
+    if not args.no_bad and np.asarray(out["bad_overflow"]).any():
+        print("bench: ERROR — BAD neighbor capacity overflow, results "
+              "incomplete", file=sys.stderr)
+        sys.exit(1)
     print(json.dumps({
         "metric": "frames/sec fused RDF+BAD+CN+MSD, 10k-atom amorphous ZIF",
         "value": round(frames_per_sec, 3),
