@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from amof_tpu.ops.pair_engine import (
     _mxu_histogram,
     frame_neighbor_payload_table,
+    frame_neighbor_payload_table_sorted,
     min_image_delta,
 )
 
@@ -40,7 +41,8 @@ from amof_tpu.ops.pair_engine import (
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_species", "bins", "max_neighbors", "chunk", "n_i", "by_cn"
+        "n_species", "bins", "max_neighbors", "chunk", "n_i", "by_cn",
+        "window", "emit_cn",
     ),
 )
 def frame_bad_counts(
@@ -56,6 +58,8 @@ def frame_bad_counts(
     i_start=0,
     n_i: int = None,
     by_cn: bool = False,
+    window: int = None,
+    emit_cn: bool = False,
 ):
     """Angle histograms of one frame.
 
@@ -65,19 +69,44 @@ def frame_bad_counts(
     a scatter path; without it (the default, enough for ``Bad``) the
     histograms are MXU one-hot contractions, scatter-free.
 
+    ``window`` selects the sorted-window neighbor table
+    (pair_engine.frame_neighbor_payload_table_sorted): centers are
+    processed in sorted order — histograms are order-invariant, so the
+    result is bit-exact vs the full table — and the overflow flag also
+    covers window misses. None, or a window too wide for N, uses the
+    full table.
+
+    ``emit_cn`` (sorted-window path only) additionally returns the
+    per-species-pair neighbor-count matrix computed by the table's
+    verification pass — equal to pair_engine.frame_cn_counts for the
+    same cutoffs, at no extra pair pass.
+
     Returns:
         concrete  f32[S, S, K+1, bins]  (K+1 == 1 when by_cn=False)
         center_any f32[S, K+1, bins]
-        overflow  bool[]
+        overflow  bool[]  (capacity overflow, or a window miss)
+        [, cn f32[S, S] when emit_cn]
     """
     n = positions.shape[0]
     if n_i is None:
         n_i = n
+    if window is not None and chunk + 2 * window >= n:
+        window = None
     k_cap = max_neighbors
-    nbr_pos, nbr_sp, nbr_cnt, overflow = frame_neighbor_payload_table(
-        positions, cell, species_idx, cutoff_matrix, max_neighbors, chunk,
-        i_start=i_start, n_i=n_i,
-    )
+    if window is None:
+        assert not emit_cn, "emit_cn requires the sorted-window table"
+        nbr_pos, nbr_sp, nbr_cnt, overflow = frame_neighbor_payload_table(
+            positions, cell, species_idx, cutoff_matrix, max_neighbors,
+            chunk, i_start=i_start, n_i=n_i,
+        )
+        center_pos = jax.lax.dynamic_slice(positions, (i_start, 0), (n_i, 3))
+        center_sp = jax.lax.dynamic_slice(species_idx, (i_start,), (n_i,))
+    else:
+        (nbr_pos, nbr_sp, nbr_cnt, overflow, center_pos, center_sp,
+         *cn_out) = frame_neighbor_payload_table_sorted(
+            positions, cell, species_idx, cutoff_matrix, max_neighbors,
+            chunk, window, i_start=i_start, n_i=n_i, emit_cn=emit_cn,
+        )
     inv_cell = jnp.linalg.inv(cell)
     s2 = n_species * n_species
     cn_slots = (k_cap + 1) if by_cn else 1
@@ -91,9 +120,8 @@ def frame_bad_counts(
         )
         sj = jax.lax.dynamic_slice(nbr_sp, (local_i0, 0), (chunk, k_cap))
         cnt = jax.lax.dynamic_slice(nbr_cnt, (local_i0,), (chunk,))
-        g0 = i_start + local_i0
-        si = jax.lax.dynamic_slice(species_idx, (g0,), (chunk,))
-        pi = jax.lax.dynamic_slice(positions, (g0, 0), (chunk, 3))
+        si = jax.lax.dynamic_slice(center_sp, (local_i0,), (chunk,))
+        pi = jax.lax.dynamic_slice(center_pos, (local_i0, 0), (chunk, 3))
         slot_valid = sj >= 0
         vec = min_image_delta(pj - pi[:, None, :], cell, inv_cell)
         norm = jnp.sqrt(jnp.sum(vec * vec, axis=-1))
@@ -178,6 +206,8 @@ def frame_bad_counts(
     )
     conc = conc[:conc_total].reshape(n_species, n_species, cn_slots, bins)
     any_ = any_[:any_total].reshape(n_species, cn_slots, bins)
+    if emit_cn:
+        return conc, any_, overflow, cn_out[0]
     return conc, any_, overflow
 
 
@@ -202,6 +232,7 @@ def trajectory_bad_counts(
     max_neighbors=24,
     chunk=256,
     by_cn=False,
+    window=None,
 ):
     """Accumulate over frames; returns (concrete, center_any, overflow)."""
 
@@ -209,7 +240,7 @@ def trajectory_bad_counts(
         pos, cell = args
         return frame_bad_counts(
             pos, cell, species_idx, cutoff_matrix, n_species, dtheta, bins,
-            max_neighbors, chunk, by_cn=by_cn,
+            max_neighbors, chunk, by_cn=by_cn, window=window,
         )
 
     conc, any_, overflow = jax.lax.map(one, (positions, cells))

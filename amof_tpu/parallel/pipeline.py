@@ -56,6 +56,7 @@ def _make_step(
     with_bad: bool,
     with_msd: bool,
     origin_policy: str,
+    bad_window: Optional[int],
 ):
     frames_ax = mesh.shape["frames"]
     atoms_ax = mesh.shape["atoms"]
@@ -80,17 +81,26 @@ def _make_step(
                 pos, cell, species_idx, dr, n_species, bins,
                 chunk=chunk, method=method, i_start=i0, n_i=a_local,
             )
-            cn = pair_engine.frame_cn_counts(
-                pos, cell, species_idx, cutoff_matrix, n_species,
-                chunk=chunk, i_start=i0, n_i=a_local,
-            )
-            if with_bad:
+            if with_bad and bad_window is not None:
+                # the BAD table's verification pass emits CN for free
+                bad_c, bad_a, overflow, cn = bad_kernel.frame_bad_counts(
+                    pos, cell, species_idx, cutoff_matrix, n_species,
+                    dtheta, bad_bins, max_neighbors, chunk,
+                    i_start=i0, n_i=a_local, window=bad_window,
+                    emit_cn=True,
+                )
+            else:
+                cn = pair_engine.frame_cn_counts(
+                    pos, cell, species_idx, cutoff_matrix, n_species,
+                    chunk=chunk, i_start=i0, n_i=a_local,
+                )
+            if with_bad and bad_window is None:
                 bad_c, bad_a, overflow = bad_kernel.frame_bad_counts(
                     pos, cell, species_idx, cutoff_matrix, n_species,
                     dtheta, bad_bins, max_neighbors, chunk,
-                    i_start=i0, n_i=a_local,
+                    i_start=i0, n_i=a_local, window=bad_window,
                 )
-            else:
+            elif not with_bad:
                 bad_c = jnp.zeros((1,), jnp.float32)
                 bad_a = jnp.zeros((1,), jnp.float32)
                 overflow = jnp.zeros((), bool)
@@ -202,6 +212,7 @@ class FusedAnalysis:
         method: Optional[str] = None,
         chunk: int = 256,
         origin_policy: str = "amof",
+        bad_window="auto",
     ):
         self.nb_set_and_cutoff = nb_set_and_cutoff
         self.dr = dr
@@ -213,6 +224,10 @@ class FusedAnalysis:
         self.method = method or pair_engine.default_histogram_method()
         self.chunk = chunk
         self.origin_policy = origin_policy
+        # sorted-window BAD neighbor search: "auto" sizes the window from
+        # the density and max cutoff; None forces the full O(N^2) table;
+        # an int is used as-is. Misses are caught by the overflow flag.
+        self.bad_window = bad_window
 
     def prepare(self, batch, mesh=None):
         """Resolve static shapes; returns (step_fn, args, meta)."""
@@ -266,11 +281,29 @@ class FusedAnalysis:
             positions.dtype
         )
 
+        bad_window = self.bad_window
+        if bad_window == "auto":
+            rc = float(cutoff_matrix.max())
+            # slab width along fractional axis 0: V / |b x c| (min frame)
+            bxc = np.cross(
+                cells[:, 1].astype(np.float64), cells[:, 2].astype(np.float64)
+            )
+            v = np.abs(np.einsum("fi,fi->f", cells[:, 0].astype(np.float64),
+                                 bxc))
+            w0 = float((v / np.linalg.norm(bxc, axis=1)).min())
+            est = 1.6 * len(species) * 2.0 * rc / max(w0, 1e-9)
+            est += (positions.shape[1] - len(species)) + 64
+            bad_window = int(-(-est // 128) * 128)
+        if bad_window is not None and (
+            self.chunk + 2 * bad_window >= positions.shape[1]
+        ):
+            bad_window = None
+
         step_fn = _make_step(
             mesh, n_species, bins, float(self.dr), bad_bins,
             float(self.dtheta), self.max_neighbors, self.chunk, method,
             positions.shape[1], self.with_bad, self.with_msd,
-            self.origin_policy,
+            self.origin_policy, bad_window,
         )
         args = (
             positions, np.asarray(batch.cell), volumes,

@@ -219,3 +219,110 @@ class TestBadByCn:
         bad.write_to_file(tmp_path / "t")
         back = ambad.BadByCn.from_file(tmp_path / "t")
         assert back.data["bad"].allclose(bad.data["bad"], equal_nan=True)
+
+
+class TestSortedWindowTable:
+    """Sorted-window neighbor table (pair_engine
+    .frame_neighbor_payload_table_sorted) vs the full O(N^2) table."""
+
+    def _random_system(self, n=640, seed=3):
+        import jax.numpy as jnp
+
+        from amof_tpu.cn import _cutoff_matrix_for_species
+        from amof_tpu.ops import pair_engine
+        from amof_tpu.rdf import _species_table
+
+        rng = np.random.default_rng(seed)
+        species = rng.choice([8, 14, 30], n)
+        box = (n / 0.06) ** (1 / 3)
+        pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+        unique, z_to_idx = _species_table(species)
+        cm = _cutoff_matrix_for_species(
+            {"Si-O": 2.0, "Zn-O": 2.2, "Si-Si": 2.4}, unique, z_to_idx
+        )
+        pos_p, sp = pair_engine.pad_atoms(pos[None], z_to_idx[species], 64)
+        cell = jnp.eye(3, dtype=jnp.float32) * box
+        return jnp.asarray(pos_p[0]), cell, jnp.asarray(sp), jnp.asarray(cm)
+
+    def test_bad_counts_bit_exact(self):
+        """Windowed and full tables give identical angle histograms."""
+        from amof_tpu.ops import bad_kernel
+
+        pos, cell, sp, cm = self._random_system()
+        kw = dict(n_species=3, dtheta=2.0, bins=91, max_neighbors=8,
+                  chunk=64)
+        c_full, a_full, ov_full = bad_kernel.frame_bad_counts(
+            pos, cell, sp, cm, **kw
+        )
+        c_win, a_win, ov_win = bad_kernel.frame_bad_counts(
+            pos, cell, sp, cm, window=192, **kw
+        )
+        assert not bool(ov_full) and not bool(ov_win)
+        assert np.array_equal(np.asarray(c_full), np.asarray(c_win))
+        assert np.array_equal(np.asarray(a_full), np.asarray(a_win))
+        assert np.asarray(c_win).sum() > 0  # nontrivial workload
+
+    def test_window_miss_flagged(self):
+        """A window too narrow for the density must raise the flag, and
+        the exact counts (full-range pass) must still be returned."""
+        from amof_tpu.ops import pair_engine
+
+        pos, cell, sp, cm = self._random_system()
+        out = pair_engine.frame_neighbor_payload_table_sorted(
+            pos, cell, sp, cm, max_neighbors=8, chunk=64, window=1
+        )
+        nbr_pos, nbr_sp, nbr_cnt, flag, c_pos, c_sp = out
+        assert bool(flag)
+        full = pair_engine.frame_neighbor_payload_table(
+            pos, cell, sp, cm, max_neighbors=8, chunk=64
+        )
+        # counts come from the verification pass: exact despite the miss
+        assert np.asarray(nbr_cnt).sum() == np.asarray(full[2]).sum()
+
+    def test_centers_are_permutation(self):
+        from amof_tpu.ops import pair_engine
+
+        pos, cell, sp, cm = self._random_system()
+        out = pair_engine.frame_neighbor_payload_table_sorted(
+            pos, cell, sp, cm, max_neighbors=8, chunk=64, window=192
+        )
+        _, _, _, flag, c_pos, c_sp = out
+        assert not bool(flag)
+        assert sorted(np.asarray(c_sp).tolist()) == sorted(
+            np.asarray(sp).tolist()
+        )
+        assert np.allclose(
+            np.sort(np.asarray(c_pos), axis=0), np.sort(np.asarray(pos),
+                                                        axis=0)
+        )
+
+    def test_fused_pipeline_auto_window(self):
+        """FusedAnalysis(bad_window='auto') matches bad_window=None."""
+        from amof_tpu.core.frames import FrameBatch
+        from amof_tpu.parallel.pipeline import FusedAnalysis
+
+        rng = np.random.default_rng(11)
+        n, f = 1536, 2
+        species = rng.choice([8, 14], n).astype(np.int32)
+        box = (n / 0.06) ** (1 / 3)
+        pos = rng.uniform(0, box, (f, n, 3)).astype(np.float32)
+        cells = np.tile(np.eye(3, dtype=np.float32) * box, (f, 1, 1))
+        batch = FrameBatch(pos, cells, species,
+                           np.arange(f, dtype=np.int32))
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                    ("frames", "atoms"))
+        kw = dict(dr=0.1, dtheta=5.0, chunk=128, max_neighbors=8,
+                  with_msd=False)
+        out_a, _ = FusedAnalysis({"Si-O": 2.0}, bad_window="auto",
+                                 **kw).run(batch, mesh=mesh)
+        out_n, _ = FusedAnalysis({"Si-O": 2.0}, bad_window=None,
+                                 **kw).run(batch, mesh=mesh)
+        assert not out_a["bad_overflow"].any()
+        for k in ("bad_concrete", "bad_center_any", "rdf_counts",
+                  "cn_counts"):
+            # cn_counts exercises the emit_cn path (exact integer counts
+            # both ways, so equality is exact)
+            assert np.array_equal(out_a[k], out_n[k]), k
