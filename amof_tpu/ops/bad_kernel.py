@@ -37,6 +37,11 @@ from amof_tpu.ops.pair_engine import (
     min_image_delta,
 )
 
+# largest CN-resolved key space routed to the MXU histogram; ~5k hi-rows
+# keep the blocked one-hot under ~80 MB (the 13-species plain-BAD case,
+# 608k slots, is measured fine on v5e)
+MXU_BY_CN_SLOT_LIMIT = 640_000
+
 
 @functools.partial(
     jax.jit,
@@ -65,9 +70,11 @@ def frame_bad_counts(
 
     ``i_start``/``n_i`` restrict the center atoms to an i-slice (atom-axis
     sharding; see pair_engine.frame_rdf_counts). With ``by_cn`` the
-    histograms gain a coordination-number axis (BadByCn) at the cost of
-    a scatter path; without it (the default, enough for ``Bad``) the
-    histograms are MXU one-hot contractions, scatter-free.
+    histograms gain a coordination-number axis (BadByCn); the MXU
+    one-hot contraction absorbs the extra axis whenever the key space
+    stays under MXU_BY_CN_SLOT_LIMIT (any realistic BadByCn study), so
+    the scatter path is only a fallback for huge species x cn x bins
+    products.
 
     ``window`` selects the sorted-window neighbor table
     (pair_engine.frame_neighbor_payload_table_sorted): centers are
@@ -93,6 +100,13 @@ def frame_bad_counts(
     if window is not None and chunk + 2 * window >= n:
         window = None
     k_cap = max_neighbors
+    # the CN-resolved key space usually still fits the MXU histogram
+    # (hi-rows scale with slots/128); scatter only beyond this, where the
+    # blocked one-hot working set would spill (scatter-add serializes on
+    # TPU, so it is strictly a fallback)
+    use_scatter = by_cn and (
+        n_species * n_species * (k_cap + 1) * bins > MXU_BY_CN_SLOT_LIMIT
+    )
     if window is None:
         assert not emit_cn, "emit_cn requires the sorted-window table"
         nbr_pos, nbr_sp, nbr_cnt, overflow = frame_neighbor_payload_table(
@@ -176,7 +190,7 @@ def frame_bad_counts(
         key_a = (a_sp * cn_slots + cn_all) * bins + tbin
         key_a = jnp.where(pair_valid, key_a, any_total)
 
-        if by_cn:
+        if use_scatter:
             conc_acc = conc_acc.at[key_c.reshape(-1)].add(
                 same.reshape(-1).astype(jnp.float32), mode="drop"
             )
@@ -195,8 +209,8 @@ def frame_bad_counts(
     def body(c, acc):
         return chunk_hist(c * chunk, acc)
 
-    acc_shape_c = conc_total + 1 if by_cn else conc_total
-    acc_shape_a = any_total + 1 if by_cn else any_total
+    acc_shape_c = conc_total + 1 if use_scatter else conc_total
+    acc_shape_a = any_total + 1 if use_scatter else any_total
     conc, any_ = jax.lax.fori_loop(
         0, n_i // chunk, body,
         (

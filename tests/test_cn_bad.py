@@ -326,3 +326,36 @@ class TestSortedWindowTable:
             # cn_counts exercises the emit_cn path (exact integer counts
             # both ways, so equality is exact)
             assert np.array_equal(out_a[k], out_n[k]), k
+
+
+class TestBadByCnMxuPath:
+    def test_mxu_equals_scatter(self, monkeypatch):
+        """by_cn histograms via the MXU one-hot path match the scatter
+        fallback exactly (the path is chosen by key-space size)."""
+        import amof_tpu.ops.bad_kernel as bk
+        from amof_tpu.cn import _cutoff_matrix_for_species
+        from amof_tpu.ops import pair_engine
+        from amof_tpu.rdf import _species_table
+
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        n = 256
+        species = rng.choice([8, 14], n)
+        box = (n / 0.06) ** (1 / 3)
+        pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+        unique, z_to_idx = _species_table(species)
+        cm = _cutoff_matrix_for_species({"Si-O": 2.2}, unique, z_to_idx)
+        pos_p, sp = pair_engine.pad_atoms(pos[None], z_to_idx[species], 64)
+        args = (jnp.asarray(pos_p[0]), jnp.eye(3, dtype=jnp.float32) * box,
+                jnp.asarray(sp), jnp.asarray(cm))
+        kw = dict(n_species=2, dtheta=5.0, bins=37, max_neighbors=8,
+                  chunk=64, by_cn=True)
+        c_mxu, a_mxu, _ = bk.frame_bad_counts(*args, **kw)
+        monkeypatch.setattr(bk, "MXU_BY_CN_SLOT_LIMIT", 1)
+        bk.frame_bad_counts.clear_cache()
+        c_sc, a_sc, _ = bk.frame_bad_counts(*args, **kw)
+        bk.frame_bad_counts.clear_cache()
+        assert np.array_equal(np.asarray(c_mxu), np.asarray(c_sc))
+        assert np.array_equal(np.asarray(a_mxu), np.asarray(a_sc))
+        assert np.asarray(c_mxu).sum() > 0
