@@ -54,13 +54,16 @@ def main():
     parser.add_argument("--atoms", type=int, default=10240)
     parser.add_argument("--dr", type=float, default=0.02)
     parser.add_argument("--dtheta", type=float, default=0.05)
-    parser.add_argument("--chunk", type=int, default=128)
+    parser.add_argument("--chunk", type=int, default=256)
     parser.add_argument("--method", type=str, default=None)
     parser.add_argument("--repeats", type=int, default=2)
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes for a fast correctness run")
     parser.add_argument("--no-bad", action="store_true")
     parser.add_argument("--no-msd", action="store_true")
+    parser.add_argument("--max-neighbors", type=int, default=8,
+                        help="initial BAD neighbor capacity; doubled "
+                             "automatically while the overflow flag fires")
     args = parser.parse_args()
 
     if args.smoke:
@@ -81,27 +84,36 @@ def main():
     batch, box = make_trajectory(args.frames, args.atoms)
     mesh = analysis_mesh()  # all available devices, frames axis
 
-    fa = FusedAnalysis(
-        {"Zn-N": 2.0, "C-C": 1.75, "C-N": 1.73, "C-H": 1.3},
-        dr=args.dr, dtheta=args.dtheta, chunk=args.chunk,
-        method=args.method, with_bad=not args.no_bad,
-        with_msd=not args.no_msd, max_neighbors=16,
-    )
-    step_fn, fargs, meta = fa.prepare(batch, mesh=mesh)
+    k_cap = args.max_neighbors
+    while True:
+        fa = FusedAnalysis(
+            {"Zn-N": 2.0, "C-C": 1.75, "C-N": 1.73, "C-H": 1.3},
+            dr=args.dr, dtheta=args.dtheta, chunk=args.chunk,
+            method=args.method, with_bad=not args.no_bad,
+            with_msd=not args.no_msd, max_neighbors=k_cap,
+        )
+        step_fn, fargs, meta = fa.prepare(batch, mesh=mesh)
 
-    def run_once():
-        out = step_fn(*fargs)
-        # force a full device->host sync: block_until_ready is not a
-        # reliable barrier on remote-tunnel backends
-        for v in out.values():
-            float(np.asarray(v).sum())
-        return out
+        def run_once():
+            out = step_fn(*fargs)
+            # force a full device->host sync: block_until_ready is not a
+            # reliable barrier on remote-tunnel backends
+            for v in out.values():
+                float(np.asarray(v).sum())
+            return out
 
-    t0 = time.time()
-    out = run_once()
-    compile_time = time.time() - t0
-    print(f"bench: first call (compile+run) {compile_time:.1f}s",
-          file=sys.stderr)
+        t0 = time.time()
+        out = run_once()
+        compile_time = time.time() - t0
+        print(f"bench: first call (compile+run, K={k_cap}) "
+              f"{compile_time:.1f}s", file=sys.stderr)
+        if args.no_bad or not np.asarray(out["bad_overflow"]).any():
+            break
+        k_cap *= 2  # capacity insufficient: retry, never truncate
+        print(f"bench: neighbor capacity overflow, retrying with "
+              f"K={k_cap}", file=sys.stderr)
+        if k_cap > 1024:
+            raise RuntimeError("neighbor capacity runaway")
 
     times = []
     for _ in range(args.repeats):
@@ -119,10 +131,6 @@ def main():
         f"rdf_total={float(np.asarray(out['rdf_counts']).sum()):.3e}",
         file=sys.stderr,
     )
-    if not args.no_bad and np.asarray(out["bad_overflow"]).any():
-        print("bench: ERROR — BAD neighbor capacity overflow, results "
-              "incomplete", file=sys.stderr)
-        sys.exit(1)
     print(json.dumps({
         "metric": "frames/sec fused RDF+BAD+CN+MSD, 10k-atom amorphous ZIF",
         "value": round(frames_per_sec, 3),
