@@ -112,17 +112,19 @@ def _tile_body(scalars, atoms_i_ref, atoms_j_ref, out_ref, acc_ref,
     def row_body(r, _):
         krh = kh_ref[pl.ds(r, 1), :]  # [1, TJ]
         krl = kl_ref[pl.ds(r, 1), :]
-        oh_h = (krh == iota_h).astype(jnp.bfloat16)  # [H, TJ]
-        oh_l = (krl == iota_l).astype(jnp.bfloat16)  # [LO, TJ]
+        # int8 one-hots: 0/1 exact, and the v5e MXU runs int8 at 2x the
+        # bf16 rate; per-dot partial counts <= TJ fit int32 trivially
+        oh_h = (krh == iota_h).astype(jnp.int8)  # [H, TJ]
+        oh_l = (krl == iota_l).astype(jnp.int8)  # [LO, TJ]
         acc_ref[:] += jax.lax.dot_general(
             oh_h, oh_l,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32,
         )
         return 0
 
     jax.lax.fori_loop(0, ti, row_body, 0)
-    out_ref[:] += acc_ref[:]
+    out_ref[:] += acc_ref[:].astype(jnp.float32)
 
 
 @functools.partial(
@@ -170,7 +172,7 @@ def pallas_rdf_counts(
         ],
         out_specs=pl.BlockSpec((hi, LO), lambda i, j, s: (0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((hi, LO), jnp.float32),
+            pltpu.VMEM((hi, LO), jnp.int32),
             pltpu.VMEM((ti, tj), jnp.int32),
             pltpu.VMEM((ti, tj), jnp.int32),
         ],
