@@ -217,6 +217,20 @@ def frame_rdf_counts(
             positions, cell, species_idx, dr, n_species, bins,
             ti=256, tj=_pick_chunk(n, 1024),
         )
+    if method == "pallas-blocked":
+        # requires species_block_layout order (see pallas_rdf); the
+        # fused pipeline applies the layout at prepare time
+        if not (static_range and i_start == 0 and n_i == n):
+            raise ValueError(
+                "method='pallas-blocked' requires the full static "
+                "i-range; use 'mxu' on atom-sharded paths"
+            )
+        from amof_tpu.ops.pallas_rdf import pallas_rdf_counts_blocked
+
+        return pallas_rdf_counts_blocked(
+            positions, cell, species_idx, dr, n_species, bins,
+            ti=256, tj=_pick_chunk(n, 512), g=32,
+        )
     return _frame_rdf_counts_xla(
         positions, cell, species_idx, dr,
         i_start if not static_range else 0,

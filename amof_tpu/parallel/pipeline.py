@@ -252,9 +252,28 @@ class FusedAnalysis:
             method = "mxu"
         # every device's atom slice must itself divide into chunks
         pad_multiple = self.chunk * atoms_ax
-        positions, species_idx = pair_engine.pad_atoms(
-            np.asarray(batch.positions), z_to_idx[species], pad_multiple
-        )
+        positions = species_idx = None
+        if method == "pallas":
+            # species-blocked layout upgrades RDF to the blocked kernel
+            # (histograms are permutation-invariant, so BAD/CN/MSD take
+            # the re-layout unchanged); skip when per-species padding
+            # to tile-aligned blocks would inflate the pair count
+            from amof_tpu.ops import pallas_rdf
+
+            block = int(np.lcm(512, pad_multiple))
+            perm, sp_l = pallas_rdf.species_block_layout(
+                z_to_idx[species], block=block, total_multiple=block
+            )
+            if len(sp_l) <= 1.5 * len(species):
+                positions = pallas_rdf.apply_atom_layout(
+                    np.asarray(batch.positions), perm
+                )
+                species_idx = sp_l
+                method = "pallas-blocked"
+        if positions is None:
+            positions, species_idx = pair_engine.pad_atoms(
+                np.asarray(batch.positions), z_to_idx[species], pad_multiple
+            )
         if batch.num_frames % mesh.shape["frames"]:
             raise ValueError(
                 f"frames ({batch.num_frames}) must divide the 'frames' "
@@ -273,9 +292,10 @@ class FusedAnalysis:
             for a, b in pairs
         )
         bad_bins = int(180 // self.dtheta) + 1
-        masses = np.concatenate(
-            [elements.mass_of(species),
-             np.zeros(len(species_idx) - len(species))]
+        # per-slot masses (pads may be interleaved by the blocked layout)
+        z_slot = np.asarray(unique)[np.maximum(species_idx, 0)]
+        masses = np.where(
+            species_idx >= 0, elements.mass_of(z_slot), 0.0
         ).astype(positions.dtype)
         volumes = np.abs(np.linalg.det(cells.astype(np.float64))).astype(
             positions.dtype

@@ -57,3 +57,44 @@ class TestPallasRdf:
                 pos, cell, sp, 0.1, 2, 50, method="pallas",
                 i_start=jnp.int32(0), n_i=256,
             )
+
+
+class TestPallasRdfBlocked:
+    def test_layout_and_blocked_match_unblocked(self):
+        from amof_tpu.ops.pallas_rdf import (
+            apply_atom_layout,
+            pallas_rdf_counts_blocked,
+            species_block_layout,
+        )
+
+        rng = np.random.default_rng(9)
+        n, box, s = 512, 12.0, 3
+        pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+        cell = (np.eye(3) * box).astype(np.float32)
+        sp = rng.integers(0, s, n).astype(np.int32)
+        sp[500:] = -1  # pre-existing pads must be re-created by layout
+        ref = np.asarray(pair_engine.frame_rdf_counts(
+            pos, cell, sp, 0.05, s, 120, chunk=256, method="scatter"
+        ))
+        perm, sp_l = species_block_layout(sp, block=128, total_multiple=128)
+        pos_l = apply_atom_layout(pos, perm)
+        got = np.asarray(pallas_rdf_counts_blocked(
+            pos_l, cell, sp_l, 0.05, s, 120, ti=128, tj=128, g=16,
+            interpret=True,
+        ))
+        assert np.array_equal(ref, got)
+
+    def test_layout_properties(self):
+        from amof_tpu.ops.pallas_rdf import species_block_layout
+
+        rng = np.random.default_rng(2)
+        sp = rng.integers(0, 4, 300).astype(np.int32)
+        perm, sp_l = species_block_layout(sp, block=64, total_multiple=256)
+        assert len(sp_l) % 256 == 0
+        # real atoms appear exactly once; species blocks are 64-aligned
+        real = perm[perm >= 0]
+        assert sorted(real.tolist()) == list(range(300))
+        for i in range(0, len(sp_l), 64):
+            blk = sp_l[i:i + 64]
+            vals = set(blk.tolist()) - {-1}
+            assert len(vals) <= 1
