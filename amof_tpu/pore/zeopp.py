@@ -70,9 +70,17 @@ def analyze_frame(
     radii: Optional[Dict[str, float]] = None,
     resolution: float = 0.2,
     grid: Optional[tuple] = None,
+    window="auto",
 ) -> Dict[str, float]:
     """Run the requested pore analyses on one frame; returns a flat dict
-    keyed by the Zeo++ output-field names."""
+    keyed by the Zeo++ output-field names.
+
+    ``window`` controls the sorted-window distance grid (see
+    grid_kernel.distance_grid_windowed): "auto" sizes it from the
+    density whenever only threshold consumers are requested (-res and
+    -psd need the unclamped field), an int forces that width, None
+    disables it. A window miss is detected exactly and falls back to
+    the full O(V*N) grid."""
     cell = frame.get_cell().astype(np.float32)
     volume = cellmath.volume(cell)
     mass_amu = float(np.sum(frame.get_masses()))
@@ -85,7 +93,30 @@ def analyze_frame(
 
     if grid is None:
         grid = _grid_dims(cell, resolution)
-    dist = grid_kernel.distance_grid(frac, cell, atom_radii, grid)
+    dist = None
+    if window is not None and not res and not psd:
+        # threshold-only consumers: the clamped sorted-window field is
+        # exact below dmax and ~an order of magnitude cheaper
+        dmax = float(max(probe_radius, chan_radius)) + 1e-3
+        w0 = volume / float(np.linalg.norm(np.cross(cell[1], cell[2])))
+        # coarse rounding keeps the static arg stable across NPT frames
+        dxa = float(np.ceil((dmax + float(atom_radii.max())) / w0 / 5e-3)
+                    * 5e-3)
+        chunk = 1024
+        n_at = len(atom_radii)
+        span = (chunk // (grid[1] * grid[2]) + 2) / grid[0]
+        if window == "auto":
+            w_est = 1.3 * n_at * (span + 2 * dxa) + 64
+            window = int(-(-w_est // 128) * 128)
+        if window < n_at:
+            d_w, missed = grid_kernel.distance_grid_windowed(
+                frac, cell, atom_radii, grid, dmax=dmax, dxa=dxa,
+                chunk=chunk, window=int(window),
+            )
+            if not bool(np.asarray(missed)):
+                dist = d_w
+    if dist is None:
+        dist = grid_kernel.distance_grid(frac, cell, atom_radii, grid)
     voxel_volume = volume / (grid[0] * grid[1] * grid[2])
 
     # accessibility is defined by the channel probe (Zeo++ -sa/-vol pass

@@ -184,3 +184,56 @@ class TestTriclinicPore:
         assert out["AV_A^3"] == pytest.approx(v_cell - v_sphere, rel=0.03)
         assert out["NAV_A^3"] == 0.0
         assert out["ASA_A^2"] == pytest.approx(4 * np.pi * r_eff**2, rel=1e-3)
+
+
+class TestWindowedDistanceGrid:
+    def _system(self, n=600, seed=4):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        box = (n / 0.06) ** (1 / 3)
+        frac = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        cell = (np.eye(3) * box).astype(np.float32)
+        radii = rng.uniform(1.0, 2.0, n).astype(np.float32)
+        return jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii)
+
+    def test_masks_match_full_grid(self):
+        from amof_tpu.pore import grid_kernel
+
+        frac, cell, radii = self._system()
+        grid = (24, 24, 24)
+        dmax, probe = 1.301, 1.3
+        full = np.asarray(
+            grid_kernel.distance_grid(frac, cell, radii, grid)
+        )
+        w, missed = grid_kernel.distance_grid_windowed(
+            frac, cell, radii, grid, dmax=dmax,
+            dxa=float((dmax + 2.0) / cell[0, 0]), chunk=512, window=512,
+        )
+        assert not bool(missed)
+        w = np.asarray(w)
+        # clamped field: exact below dmax, >= dmax elsewhere
+        assert np.array_equal(w >= probe, full >= probe)
+        exact = full < dmax
+        assert np.allclose(w[exact], full[exact])
+        assert (w[~exact] == np.float32(dmax)).all()
+
+    def test_window_miss_flagged(self):
+        from amof_tpu.pore import grid_kernel
+
+        frac, cell, radii = self._system()
+        _, missed = grid_kernel.distance_grid_windowed(
+            frac, cell, radii, (24, 24, 24), dmax=1.301,
+            dxa=float(3.3 / cell[0, 0]), chunk=512, window=8,
+        )
+        assert bool(missed)
+
+    def test_analyze_frame_window_equals_full(self, zif4_frame):
+        from amof_tpu.pore import zeopp
+
+        a = zeopp.analyze_frame(zif4_frame, sa=True, vol=True,
+                                resolution=0.5, window="auto")
+        b = zeopp.analyze_frame(zif4_frame, sa=True, vol=True,
+                                resolution=0.5, window=None)
+        for k in a:
+            assert a[k] == pytest.approx(b[k], rel=1e-6), k
