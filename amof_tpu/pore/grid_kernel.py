@@ -365,3 +365,132 @@ def surface_point_classification(
     starts = jnp.arange(0, n_pad, chunk)
     acc, nacc = jax.lax.map(chunk_counts, starts)
     return acc.reshape(-1)[:n], nacc.reshape(-1)[:n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid", "chunk", "window")
+)
+def surface_point_classification_windowed(
+    frac_atoms,  # f32[N, 3], NO padding rows
+    cell,
+    radii,  # f32[N]
+    r_probe,
+    dirs,
+    accessible,
+    pocket,
+    grid,
+    window: int = 1536,
+    chunk: int = 32,
+):
+    """Sorted-window variant of ``surface_point_classification``.
+
+    A sample point on atom i's probe sphere can only be blocked by atoms
+    within R_i + R_j + 2*r_probe of the center (triangle inequality), so
+    after sorting atoms by fractional x each chunk of centers tests a
+    [chunk + 2*window] slice of sorted order instead of all N atoms. An
+    exact full-range candidate count per center flags any window miss.
+
+    Returns (acc_counts, nacc_counts, orig_idx, missed): counts are in
+    sorted order; scatter them back with ``out[orig_idx] = counts``
+    (orig_idx is -1 for internal padding rows).
+    """
+    gx, gy, gz = grid
+    n = frac_atoms.shape[0]
+    k = dirs.shape[0]
+    assert chunk + 2 * window < n, "window too wide; use the full variant"
+    inv_cell = jnp.linalg.inv(cell)
+    gvec = jnp.array([gx, gy, gz])
+    width = chunk + 2 * window
+
+    fx = frac_atoms[:, 0] - jnp.floor(frac_atoms[:, 0])
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    _, ax, ay, az, rs, gis = jax.lax.sort(
+        (fx, frac_atoms[:, 0], frac_atoms[:, 1], frac_atoms[:, 2], radii,
+         gidx),
+        dimension=0, num_keys=1,
+    )
+    fa_s = jnp.stack([ax, ay, az], axis=-1)
+    pad = (-n) % chunk
+    if pad:
+        fa_s = jnp.concatenate([fa_s, jnp.zeros((pad, 3), fa_s.dtype)])
+        rs = jnp.concatenate([rs, jnp.full((pad,), -1e9, rs.dtype)])
+        gis = jnp.concatenate([gis, jnp.full((pad,), -1, gis.dtype)])
+    n_pad = n + pad
+
+    def ext(a):
+        return jnp.concatenate([a[n - window:n], a[:n], a[:window]])
+    ext_f = jnp.stack([ext(ax), ext(ay), ext(az)], axis=-1)  # [n+2W, 3]
+    ext_r = ext(rs[:n])
+
+    def lookup(field, frac_pts):
+        f = frac_pts - jnp.floor(frac_pts)
+        idx = jnp.minimum((f * gvec).astype(jnp.int32), gvec - 1)
+        return field[idx[..., 0], idx[..., 1], idx[..., 2]]
+
+    def chunk_counts(c0):
+        fa = jax.lax.dynamic_slice(fa_s, (c0, 0), (chunk, 3))
+        ra = jax.lax.dynamic_slice(rs, (c0,), (chunk,))
+
+        # exact full-range candidate count (one fused pass): any atom
+        # within R_i + R_j + 2 r_probe can block a point of center i
+        dfc = fa[:, None, :] - fa_s[None, :n, :]
+        dfc = dfc - jnp.floor(dfc + 0.5)
+        dcc = matvec3(dfc, cell)
+        dcent = jnp.sqrt(jnp.sum(dcc * dcc, axis=-1))
+        reach = ra[:, None] + rs[None, :n] + 2.0 * r_probe
+        is_cand = (dcent < reach) & (rs[None, :n] > -1e8)
+        col_full = jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 1)
+        self_full = c0 + jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, n), 0
+        )
+        is_cand &= col_full != self_full
+        cnt_full = jnp.sum(is_cand, axis=1)
+
+        # windowed candidates
+        wf = jax.lax.dynamic_slice(ext_f, (c0, 0), (width, 3))
+        wr = jax.lax.dynamic_slice(ext_r, (c0,), (width,))
+        dfw = fa[:, None, :] - wf[None, :, :]
+        dfw = dfw - jnp.floor(dfw + 0.5)
+        dcw = matvec3(dfw, cell)
+        dw = jnp.sqrt(jnp.sum(dcw * dcw, axis=-1))
+        col = jax.lax.broadcasted_iota(jnp.int32, (chunk, width), 1)
+        self_col = window + jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, width), 0
+        )
+        cand_w = (
+            (dw < ra[:, None] + wr[None, :] + 2.0 * r_probe)
+            & (wr[None, :] > -1e8)
+            & (col != self_col)
+        )
+        cnt_win = jnp.sum(cand_w, axis=1)
+
+        centers = matvec3(fa, cell)
+        pts = centers[:, None, :] + (ra[:, None, None] + r_probe) * dirs[None]
+        fp = matvec3(pts, inv_cell)  # [C, K, 3]
+        df = fp[:, :, None, :] - wf[None, None, :, :]
+        df = df - jnp.floor(df + 0.5)
+        dc = matvec3(df, cell)
+        d = jnp.sqrt(jnp.sum(dc * dc, axis=-1)) - (wr[None, None, :] + r_probe)
+        d = jnp.where(
+            (col[:, None, :] == self_col[:, None, :])
+            | (wr[None, None, :] < -1e8),
+            jnp.inf, d,
+        )
+        valid = (jnp.min(d, axis=-1) > -1e-4) & (ra[:, None] > -1e8)
+
+        nudge = fp + matvec3(dirs[None] * 0.2, inv_cell)
+        acc = lookup(accessible, fp) | lookup(accessible, nudge)
+        poc = lookup(pocket, fp) | lookup(pocket, nudge)
+        acc_pt = valid & acc
+        nacc_pt = valid & ~acc & poc
+        return (
+            jnp.sum(acc_pt, axis=1).astype(jnp.int32),
+            jnp.sum(nacc_pt, axis=1).astype(jnp.int32),
+            jnp.any(cnt_full != cnt_win),
+        )
+
+    starts = jnp.arange(0, n_pad, chunk)
+    acc, nacc, missed = jax.lax.map(chunk_counts, starts)
+    return (
+        acc.reshape(-1), nacc.reshape(-1), gis, jnp.any(missed)
+    )

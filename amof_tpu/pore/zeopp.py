@@ -137,10 +137,35 @@ def analyze_frame(
     if sa:
         k = max(50, int(num_samples) // max(1, len(frame)))
         dirs = grid_kernel.fibonacci_sphere(k)
-        acc_counts, nacc_counts = grid_kernel.surface_point_classification(
-            frac, cell, atom_radii, float(probe_radius), dirs,
-            accessible, pocket, grid,
-        )
+        acc_counts = None
+        if window is not None:
+            # blockers lie within R_i + R_j + 2*probe of a center: the
+            # same sorted-window trick, miss-checked exactly
+            w0 = volume / float(np.linalg.norm(np.cross(cell[1], cell[2])))
+            reach = 2.0 * (float(atom_radii.max()) + float(probe_radius))
+            w_est = 1.3 * len(atom_radii) * 2.0 * reach / w0 + 64
+            w_surf = int(-(-w_est // 128) * 128)
+            if 32 + 2 * w_surf < len(atom_radii):
+                a_s, n_s, gis, missed = (
+                    grid_kernel.surface_point_classification_windowed(
+                        frac, cell, atom_radii, float(probe_radius), dirs,
+                        accessible, pocket, grid, window=w_surf,
+                    )
+                )
+                if not bool(np.asarray(missed)):
+                    gis = np.asarray(gis)
+                    real = gis >= 0
+                    acc_counts = np.zeros(len(atom_radii), np.int32)
+                    nacc_counts = np.zeros(len(atom_radii), np.int32)
+                    acc_counts[gis[real]] = np.asarray(a_s)[real]
+                    nacc_counts[gis[real]] = np.asarray(n_s)[real]
+        if acc_counts is None:
+            acc_counts, nacc_counts = (
+                grid_kernel.surface_point_classification(
+                    frac, cell, atom_radii, float(probe_radius), dirs,
+                    accessible, pocket, grid,
+                )
+            )
         sphere_areas = 4 * np.pi * (atom_radii + probe_radius) ** 2
         asa = float(np.sum(sphere_areas * np.asarray(acc_counts) / k))
         nasa = float(np.sum(sphere_areas * np.asarray(nacc_counts) / k))
