@@ -114,9 +114,27 @@ class Rdf:
         self.data = pd.DataFrame({"r": r})
 
         volumes = np.abs(np.linalg.det(cells)).astype(np.float32)
-        positions, species_idx = pair_engine.pad_atoms(
-            np.asarray(batch.positions), z_to_idx[species]
-        )
+        method = None
+        positions = species_idx = None
+        if pair_engine.default_histogram_method() != "scatter":
+            # accelerator: species-blocked pallas kernel (bit-exact,
+            # ~7x the XLA mxu path) unless per-species tile padding
+            # would inflate the pair count (tiny systems)
+            from amof_tpu.ops import pallas_rdf
+
+            perm, sp_l = pallas_rdf.species_block_layout(
+                z_to_idx[species], block=512, total_multiple=512
+            )
+            if len(sp_l) <= 1.5 * len(species):
+                positions = pallas_rdf.apply_atom_layout(
+                    np.asarray(batch.positions), perm
+                )
+                species_idx = sp_l
+                method = "pallas-blocked"
+        if positions is None:
+            positions, species_idx = pair_engine.pad_atoms(
+                np.asarray(batch.positions), z_to_idx[species]
+            )
         counts = np.asarray(
             pair_engine.trajectory_rdf_counts(
                 positions,
@@ -125,6 +143,7 @@ class Rdf:
                 float(dr),
                 n_species,
                 bins,
+                method=method,
                 frame_weights=volumes,
             ),
             dtype=np.float64,

@@ -98,3 +98,17 @@ class TestPallasRdfBlocked:
             blk = sp_l[i:i + 64]
             vals = set(blk.tolist()) - {-1}
             assert len(vals) <= 1
+
+    def test_apply_atom_layout_3d(self):
+        from amof_tpu.ops.pallas_rdf import (apply_atom_layout,
+                                             species_block_layout)
+
+        rng = np.random.default_rng(0)
+        sp = rng.integers(0, 3, 100).astype(np.int32)
+        pos = rng.uniform(0, 5, (4, 100, 3)).astype(np.float32)
+        perm, sp_l = species_block_layout(sp, block=64, total_multiple=64)
+        out = apply_atom_layout(pos, perm)
+        assert out.shape == (4, len(sp_l), 3)
+        real = perm >= 0
+        assert np.array_equal(out[:, real], pos[:, perm[real]])
+        assert (out[:, ~real] == 0).all()
