@@ -47,7 +47,7 @@ MXU_BY_CN_SLOT_LIMIT = 640_000
     jax.jit,
     static_argnames=(
         "n_species", "bins", "max_neighbors", "chunk", "n_i", "by_cn",
-        "window", "emit_cn",
+        "window", "emit_cn", "table_impl",
     ),
 )
 def frame_bad_counts(
@@ -65,6 +65,7 @@ def frame_bad_counts(
     by_cn: bool = False,
     window: int = None,
     emit_cn: bool = False,
+    table_impl: str = "xla",
 ):
     """Angle histograms of one frame.
 
@@ -120,6 +121,7 @@ def frame_bad_counts(
          *cn_out) = frame_neighbor_payload_table_sorted(
             positions, cell, species_idx, cutoff_matrix, max_neighbors,
             chunk, window, i_start=i_start, n_i=n_i, emit_cn=emit_cn,
+            impl=table_impl,
         )
     inv_cell = jnp.linalg.inv(cell)
     s2 = n_species * n_species

@@ -487,6 +487,7 @@ def frame_neighbor_payload_table_sorted(
     i_start=0,
     n_i: int = None,
     emit_cn: bool = False,
+    impl: str = "xla",
 ):
     """Sorted-window neighbor table: the bandwidth-cheap variant of
     ``frame_neighbor_payload_table``.
@@ -519,6 +520,12 @@ def frame_neighbor_payload_table_sorted(
     (one-hot MXU matmuls, like frame_cn_counts but counting ordered
     pairs directly) — CN analysis rides the same pass for free.
 
+    ``impl="pallas"`` runs the K-slot compaction as a VMEM-resident
+    Mosaic kernel (ops/pallas_neighbors.py) — same neighbor sets, same
+    verification — and silently keeps the XLA loop when its alignment
+    or sharding requirements aren't met (atom-sharded i-range, chunk or
+    window not 128-aligned).
+
     Returns:
         nbr_pos f32[n_i, K, 3], nbr_sp i32[n_i, K] (-1 empty),
         nbr_cnt i32[n_i] (exact, from the full-range pass),
@@ -533,6 +540,12 @@ def frame_neighbor_payload_table_sorted(
     inv_cell = jnp.linalg.inv(cell)
     n_species = cutoff_matrix.shape[0]
     width = chunk + 2 * window
+    use_pallas = (
+        impl == "pallas"
+        and isinstance(i_start, int) and i_start == 0 and n_i == n
+        and chunk % 128 == 0 and window % 128 == 0
+        and 1 + 4 * max_neighbors <= 128
+    )
 
     # ---- sort every payload channel by wrapped fractional coord 0 ----
     frac0 = matvec3(positions, inv_cell)[:, 0]
@@ -591,6 +604,11 @@ def frame_neighbor_payload_table_sorted(
         else:
             cn = jnp.zeros((n_species, n_species), jnp.float32)
 
+        if use_pallas:  # compaction runs in the Mosaic kernel instead
+            zero3 = jnp.zeros((chunk, max_neighbors, 3), jnp.float32)
+            zeroi = jnp.zeros((chunk, max_neighbors), jnp.int32)
+            return zero3, zeroi, cnt_full, jnp.zeros((), bool), cn
+
         # windowed candidates: ext[c0 : c0+width) = sorted[c0-W, c0+chunk+W)
         wx = jax.lax.dynamic_slice(ext_x, (c0,), (width,))
         wy = jax.lax.dynamic_slice(ext_y, (c0,), (width,))
@@ -640,6 +658,14 @@ def frame_neighbor_payload_table_sorted(
     nbr_pos = nbr_pos.reshape(n_i, k, 3)
     nbr_sp = nbr_sp.reshape(n_i, k)
     nbr_cnt = nbr_cnt.reshape(n_i)
+    if use_pallas:
+        from amof_tpu.ops.pallas_neighbors import pallas_window_table
+
+        nbr_pos, nbr_sp, cnt_win = pallas_window_table(
+            pos_s, sps, cell, cutoff_matrix, n_species, max_neighbors,
+            chunk, window,
+        )
+        missed = cnt_win != nbr_cnt  # vs the XLA verification pass
     flag = jnp.any(missed) | jnp.any(nbr_cnt > max_neighbors)
     center_pos = jax.lax.dynamic_slice(pos_s, (i_start, 0), (n_i, 3))
     center_sp = jax.lax.dynamic_slice(sps, (i_start,), (n_i,))

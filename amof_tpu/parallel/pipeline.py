@@ -82,12 +82,15 @@ def _make_step(
                 chunk=chunk, method=method, i_start=i0, n_i=a_local,
             )
             if with_bad and bad_window is not None:
-                # the BAD table's verification pass emits CN for free
+                # the BAD table's verification pass emits CN for free;
+                # the compaction itself rides the Mosaic kernel whenever
+                # the RDF path is pallas-eligible (same conditions)
+                table_impl = "pallas" if method.startswith("pallas") else "xla"
                 bad_c, bad_a, overflow, cn = bad_kernel.frame_bad_counts(
                     pos, cell, species_idx, cutoff_matrix, n_species,
                     dtheta, bad_bins, max_neighbors, chunk,
                     i_start=i0, n_i=a_local, window=bad_window,
-                    emit_cn=True,
+                    emit_cn=True, table_impl=table_impl,
                 )
             else:
                 cn = pair_engine.frame_cn_counts(

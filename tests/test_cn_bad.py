@@ -359,3 +359,39 @@ class TestBadByCnMxuPath:
         assert np.array_equal(np.asarray(c_mxu), np.asarray(c_sc))
         assert np.array_equal(np.asarray(a_mxu), np.asarray(a_sc))
         assert np.asarray(c_mxu).sum() > 0
+
+
+class TestPallasWindowTable:
+    def test_matches_xla_sorted_table(self):
+        """Mosaic window compaction == XLA sorted-table loop (interpret
+        mode on CPU; the TPU bench runs it compiled)."""
+        import jax
+        import jax.numpy as jnp
+
+        from amof_tpu.ops import pair_engine
+        from amof_tpu.ops.pallas_neighbors import pallas_window_table
+
+        pos, cell, sp, cm = TestSortedWindowTable()._random_system(n=640)
+        kw = dict(max_neighbors=8, chunk=128, window=128)
+        ref = pair_engine.frame_neighbor_payload_table_sorted(
+            pos, cell, sp, cm, **kw
+        )
+        nbr_pos_r, nbr_sp_r, cnt_r, flag, c_pos, c_sp = ref
+        assert not bool(flag)
+        # re-derive the sorted arrays exactly as the table does
+        inv_cell = jnp.linalg.inv(cell)
+        f0 = pair_engine.matvec3(pos, inv_cell)[:, 0]
+        f0 = f0 - jnp.floor(f0)
+        key = jnp.where(sp >= 0, f0, 2.0)
+        _, xs, ys, zs, sps = jax.lax.sort(
+            (key, pos[:, 0], pos[:, 1], pos[:, 2], sp),
+            dimension=0, num_keys=1,
+        )
+
+        nbr_pos, nbr_sp, cnt_win = pallas_window_table(
+            jnp.stack([xs, ys, zs], -1), sps, cell, cm, 3,
+            kw["max_neighbors"], kw["chunk"], kw["window"], interpret=True,
+        )
+        assert np.array_equal(np.asarray(nbr_sp), np.asarray(nbr_sp_r))
+        assert np.allclose(np.asarray(nbr_pos), np.asarray(nbr_pos_r))
+        assert np.array_equal(np.asarray(cnt_win), np.asarray(cnt_r))
