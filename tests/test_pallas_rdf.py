@@ -112,3 +112,28 @@ class TestPallasRdfBlocked:
         real = perm >= 0
         assert np.array_equal(out[:, real], pos[:, perm[real]])
         assert (out[:, ~real] == 0).all()
+
+    def test_blocked_triclinic(self):
+        from amof_tpu.core import cellmath
+        from amof_tpu.ops.pallas_rdf import (
+            apply_atom_layout,
+            pallas_rdf_counts_blocked,
+            species_block_layout,
+        )
+
+        rng = np.random.default_rng(13)
+        cell = cellmath.cellpar_to_cell([11, 12, 13, 80, 95, 101]).astype(
+            np.float32
+        )
+        pos = (rng.uniform(0, 1, (256, 3)) @ cell).astype(np.float32)
+        sp = rng.integers(0, 2, 256).astype(np.int32)
+        ref = np.asarray(pair_engine.frame_rdf_counts(
+            pos, cell, sp, 0.1, 2, 50, chunk=256, method="scatter"
+        ))
+        perm, sp_l = species_block_layout(sp, block=128, total_multiple=128)
+        pos_l = apply_atom_layout(pos, perm)
+        got = np.asarray(pallas_rdf_counts_blocked(
+            pos_l, cell, sp_l, 0.1, 2, 50, ti=128, tj=128, g=16,
+            interpret=True,
+        ))
+        assert np.array_equal(ref, got)
