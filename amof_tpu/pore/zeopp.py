@@ -67,6 +67,7 @@ def analyze_frame(
     psd: bool = False,
     volpo: bool = False,
     chan: bool = False,
+    block: bool = False,
     radii: Optional[Dict[str, float]] = None,
     resolution: float = 0.2,
     grid: Optional[tuple] = None,
@@ -94,7 +95,7 @@ def analyze_frame(
     if grid is None:
         grid = _grid_dims(cell, resolution)
     dist = None
-    if window is not None and not res and not psd:
+    if window is not None and not res and not psd and not block:
         # threshold-only consumers: the clamped sorted-window field is
         # exact below dmax and ~an order of magnitude cheaper
         dmax = float(max(probe_radius, chan_radius)) + 1e-3
@@ -262,6 +263,44 @@ def analyze_frame(
         out["PONAV_Volume_fraction"] = ponav / volume
         out["PONAV_cm^3/g"] = ponav * A3_TO_CM3 / (mass_amu * AMU_TO_G)
 
+    if block:
+        # Blocking spheres (Zeo++ -block): cover every inaccessible
+        # (pocket) probe-center voxel with spheres seeded greedily at
+        # the pocket's distance-field maxima, so GCMC codes can exclude
+        # probe insertions from isolated pockets. Spheres are
+        # (fractional center, radius [A]); the union covers the pocket.
+        labels = np.asarray(
+            grid_kernel.label_components(jnp.asarray(poc_fit), True)
+        )
+        d_np = np.asarray(dist, dtype=np.float64)
+        gxyz = np.array(grid, dtype=np.float64)
+        cell64 = cell.astype(np.float64)
+        voxel_diag = float(
+            np.linalg.norm((1.0 / gxyz)[:, None] * cell64, axis=1).max()
+        )
+        spheres = []
+        for lab in np.unique(labels[labels >= 0]):
+            idx = np.argwhere(labels == lab)
+            fracs = (idx + 0.5) / gxyz
+            dvals = d_np[idx[:, 0], idx[:, 1], idx[:, 2]]
+            covered = np.zeros(len(idx), bool)
+            for _ in range(len(idx)):
+                if covered.all():
+                    break
+                i = int(np.argmax(np.where(covered, -np.inf, dvals)))
+                c = fracs[i]
+                r = float(dvals[i])
+                df = fracs - c
+                df -= np.round(df)
+                dcart = np.linalg.norm(df @ cell64, axis=1)
+                covered |= dcart <= r + 0.5 * voxel_diag
+                covered[i] = True  # guarantee progress
+                spheres.append((c[0], c[1], c[2], r))
+        out["Number_of_blocking_spheres"] = float(len(spheres))
+        out["Blocking_spheres"] = np.array(
+            spheres, dtype=np.float64
+        ).reshape(-1, 4)
+
     return out
 
 
@@ -283,7 +322,7 @@ def network(frame_or_file, **kwargs) -> Dict[str, float]:
     # translate pysimm kwarg names
     kwargs.pop("ha", None)  # grid resolution already 'high accuracy'
     kwargs.pop("atype_name", None)
-    for unsupported in ("block", "ray_atom", "extra", "mass"):
+    for unsupported in ("ray_atom", "extra", "mass"):
         if kwargs.pop(unsupported, None):
             raise NotImplementedError(
                 f"Zeo++ option {unsupported!r} is not implemented yet"

@@ -237,3 +237,56 @@ class TestWindowedDistanceGrid:
                                 resolution=0.5, window=None)
         for k in a:
             assert a[k] == pytest.approx(b[k], rel=1e-6), k
+
+
+class TestBlockingSpheres:
+    def test_zif4_pockets_covered(self, zif4_frame):
+        """ZIF-4 cages don't percolate at probe 1.2 A, so every void
+        voxel is a pocket; -block must emit spheres covering them."""
+        from amof_tpu.pore import zeopp
+
+        out = zeopp.analyze_frame(zif4_frame, vol=True, block=True,
+                                  resolution=0.4)
+        assert out["NAV_A^3"] > 0  # pockets exist
+        spheres = out["Blocking_spheres"]
+        assert out["Number_of_blocking_spheres"] == len(spheres) > 0
+        assert (spheres[:, 3] > 0).all()
+        # coverage: rerun the classification and check every pocket
+        # voxel lies inside some sphere
+        import jax.numpy as jnp
+
+        from amof_tpu.core import cellmath
+        from amof_tpu.data import elements
+        from amof_tpu.pore import grid_kernel
+
+        cell = zif4_frame.get_cell().astype(np.float32)
+        rad = elements.vdw_radius_array()[
+            zif4_frame.get_atomic_numbers()].astype(np.float32)
+        frac = cellmath.cart_to_frac(
+            zif4_frame.get_positions(), cell).astype(np.float32)
+        frac -= np.floor(frac)
+        grid = zeopp._grid_dims(cell, 0.4)
+        dist = grid_kernel.distance_grid(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(rad), grid)
+        _, acc, poc = grid_kernel.void_classification(dist, 1.2)
+        idx = np.argwhere(np.asarray(poc))
+        fr = (idx + 0.5) / np.array(grid)
+        cell64 = cell.astype(np.float64)
+        vox_diag = np.linalg.norm(
+            (1.0 / np.array(grid))[:, None] * cell64, axis=1).max()
+        covered = np.zeros(len(idx), bool)
+        for cx, cy, cz, r in spheres:
+            df = fr - [cx, cy, cz]
+            df -= np.round(df)
+            covered |= np.linalg.norm(df @ cell64, axis=1) <= r + \
+                0.5 * vox_diag
+        assert covered.all()
+
+    def test_network_block_passthrough(self, zif4_frame, tmp_path):
+        from amof_tpu.pore import zeopp
+
+        from amof_tpu.io.xyz import write_xyz
+        f = tmp_path / "z.xyz"
+        write_xyz(str(f), [zif4_frame])
+        out = zeopp.network(str(f), vol=True, block=True, resolution=0.5)
+        assert "Number_of_blocking_spheres" in out
