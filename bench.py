@@ -93,6 +93,9 @@ def main():
             with_msd=not args.no_msd, max_neighbors=k_cap,
         )
         step_fn, fargs, meta = fa.prepare(batch, mesh=mesh)
+        # keep inputs device-resident: numpy args would re-upload the
+        # whole batch through the (remote) tunnel on every timed call
+        fargs = jax.device_put(fargs)
 
         def run_once():
             out = step_fn(*fargs)
