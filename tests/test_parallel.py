@@ -85,3 +85,37 @@ class TestFusedPipeline:
         frames = tiny_trajectory(n_frames=6)
         with pytest.raises(ValueError, match="frames"):
             fused.run(frames, mesh=analysis_mesh(8, frames_axis=4))
+
+
+def test_fused_pipeline_npt_cells():
+    """Per-frame varying cells (NPT): the fused step must weight RDF by
+    per-frame volume and feed each frame's cell to every kernel; result
+    must match running the frames through the Rdf class."""
+    import jax
+    from jax.sharding import Mesh
+
+    import amof_tpu.rdf as amrdf
+    from amof_tpu.core.frames import Frame, FrameBatch
+    from amof_tpu.parallel.pipeline import FusedAnalysis
+    from amof_tpu.rdf import shell_volumes
+
+    rng = np.random.default_rng(3)
+    n, f = 256, 4
+    species = rng.choice([8, 14], n).astype(np.int32)
+    frac = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    scales = np.array([9.5, 10.0, 10.5, 10.0], np.float32)
+    pos = np.stack([frac * s for s in scales])
+    cells = np.eye(3, dtype=np.float32)[None] * scales[:, None, None]
+    batch = FrameBatch(pos, cells, species, np.arange(f, dtype=np.int32))
+    mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                ("frames", "atoms"))
+    fa = FusedAnalysis({"Si-O": 2.0}, dr=0.1, dtheta=5.0, chunk=64,
+                       with_msd=False, max_neighbors=8)
+    out, meta = fa.run(batch, mesh=mesh)
+
+    frames = [Frame(p, species, c) for p, c in zip(pos, cells)]
+    rdf = amrdf.Rdf.from_trajectory(frames, dr=0.1)
+    counts = np.asarray(out["rdf_counts"], np.float64)
+    v_shell = shell_volumes(meta["bins"], 0.1)
+    g_xx = counts.sum(axis=(0, 1)) / (f * n * n * v_shell)
+    assert np.allclose(g_xx, rdf.data["X-X"][:meta["bins"]], rtol=1e-5)
