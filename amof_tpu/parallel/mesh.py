@@ -21,38 +21,51 @@ Collectives are plain psum over mesh axes; XLA lays them on ICI.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import numpy as np
 from jax.sharding import Mesh
 
 
-def analysis_mesh(n_devices=None, frames_axis=None) -> Mesh:
+def analysis_mesh(n_devices=None, frames_axis=None, n_frames=None) -> Mesh:
     """Build a ('frames', 'atoms') mesh over the available devices.
 
+    The 'frames' axis gets every device by default (frame parallelism
+    has zero communication until the final psum). When ``n_frames`` is
+    given and is not divisible by the device count, the 'frames' axis
+    shrinks to the largest divisor of the device count that divides
+    ``n_frames`` and the remaining devices shard the atom axis — so any
+    frame count runs on any device count.
+
     Args:
-        n_devices: number of devices (default: all).
-        frames_axis: size of the 'frames' axis; defaults to the largest
-            power-of-two divisor <= sqrt heuristic favoring frames
-            (frame parallelism has zero communication until the final
-            psum, so it gets the larger share).
+        n_devices: number of devices (default: all available).
+        frames_axis: explicit size of the 'frames' axis; must divide
+            the device count. Overrides the ``n_frames`` heuristic.
+        n_frames: number of trajectory frames the mesh will shard;
+            used to auto-split frames/atoms as described above.
     """
     devices = jax.devices()
+    n_avail = len(devices)
     if n_devices is not None:
+        if n_devices > n_avail:
+            raise ValueError(
+                f"requested {n_devices} devices, but only {n_avail} "
+                f"available (platform={devices[0].platform!r}); for a "
+                f"virtual CPU mesh set JAX_PLATFORMS=cpu and XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices}"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if frames_axis is None:
-        # favor the frames axis: largest divisor of n that is <= n and
-        # >= n // 2 (frames get everything unless odd sharding helps)
         frames_axis = n
-        atoms_axis = 1
-    else:
-        atoms_axis = n // frames_axis
-    if frames_axis * atoms_axis != n:
+        if n_frames is not None and n_frames > 0:
+            while n % frames_axis or n_frames % frames_axis:
+                frames_axis -= 1
+    if frames_axis < 1 or n % frames_axis:
         raise ValueError(
-            f"mesh {frames_axis}x{atoms_axis} != {n} devices"
+            f"frames_axis={frames_axis} must be a positive divisor of "
+            f"the device count ({n})"
         )
+    atoms_axis = n // frames_axis
     dev_array = np.array(devices).reshape(frames_axis, atoms_axis)
     return Mesh(dev_array, ("frames", "atoms"))
 

@@ -16,8 +16,9 @@ the two all_gathers that re-shard between pair-space (frames-local,
 atoms-sharded) and time-space (atoms-local, frames-gathered).
 
 Shapes must divide the mesh (frames % frames_axis == 0, padded atoms %
-atoms_axis == 0); ``FusedAnalysis.run`` pads atoms automatically and
-asserts on frames.
+atoms_axis == 0); ``FusedAnalysis.run`` pads atoms automatically, and
+with no explicit mesh builds one whose frames axis divides the frame
+count (excess devices shard atoms), so any frame count runs anywhere.
 """
 
 from __future__ import annotations
@@ -237,7 +238,7 @@ class FusedAnalysis:
         import amof_tpu.bad as ambad
 
         batch = as_frame_batch(batch)
-        mesh = mesh or analysis_mesh()
+        mesh = mesh or analysis_mesh(n_frames=batch.num_frames)
         species = np.asarray(batch.species)
         unique, z_to_idx = _species_table(species)
         n_species = len(unique)
@@ -279,8 +280,10 @@ class FusedAnalysis:
             )
         if batch.num_frames % mesh.shape["frames"]:
             raise ValueError(
-                f"frames ({batch.num_frames}) must divide the 'frames' "
-                f"mesh axis ({mesh.shape['frames']})"
+                f"frame count ({batch.num_frames}) is not divisible by "
+                f"the mesh 'frames' axis ({mesh.shape['frames']}); build "
+                f"the mesh with analysis_mesh(n_frames="
+                f"{batch.num_frames}) to auto-split frames/atoms"
             )
 
         cutoff_matrix = _cutoff_matrix_for_species(

@@ -86,6 +86,22 @@ class TestFusedPipeline:
         with pytest.raises(ValueError, match="frames"):
             fused.run(frames, mesh=analysis_mesh(8, frames_axis=4))
 
+    @pytest.mark.parametrize("n_frames", [3, 5, 6])
+    def test_any_frame_count_on_default_mesh(self, fused, n_frames):
+        """With no explicit mesh, atom sharding auto-engages so any
+        frame count runs on any device count (VERDICT r1 next #5)."""
+        frames = tiny_trajectory(n_frames=n_frames)
+        ref, _ = fused.run(frames, mesh=analysis_mesh(1))
+        out, meta = fused.run(frames)  # default: all 8 devices
+        expect_frames = {3: 1, 5: 1, 6: 2}[n_frames]
+        assert meta["mesh"].shape == {
+            "frames": expect_frames, "atoms": 8 // expect_frames,
+        }
+        for key in ref:
+            np.testing.assert_allclose(
+                out[key], ref[key], rtol=1e-4, atol=1e-3, err_msg=key
+            )
+
 
 def test_fused_pipeline_npt_cells():
     """Per-frame varying cells (NPT): the fused step must weight RDF by
