@@ -343,6 +343,23 @@ class CoordinationSearch:
                         stack.append((w, path + [w], onpath | {w}))
         return cycles
 
+    @staticmethod
+    def _has_cycle_longer_than(adj, k):
+        """Whether any simple cycle has length > k (early-exit DFS over
+        the same index-ordered enumeration as _simple_cycles_bounded,
+        but unbounded in depth)."""
+        n = len(adj)
+        for v0 in range(n):
+            stack = [(v0, [v0], {v0})]
+            while stack:
+                u, path, onpath = stack.pop()
+                for w in adj[u]:
+                    if w == v0 and len(path) > max(2, k):
+                        return True
+                    if w > v0 and w not in onpath:
+                        stack.append((w, path + [w], onpath | {w}))
+        return False
+
     def find_rings(self, graph, including=None, max_depth=None,
                    exit_if_large_cycle=False, pattern=None,
                    target_number_of_rings=None, exit_if_too_many_rings=False,
@@ -384,11 +401,12 @@ class CoordinationSearch:
                 graph, None, max_length=max_depth
             )
             if exit_if_large_cycle:
-                # detect any longer cycle: one extra level of search
-                longer = self._simple_cycles_bounded(
-                    graph, None, max_length=max_depth + 1
-                )
-                if any(len(c) > max_depth for c in longer):
+                # the reference raises on ANY simple cycle larger than
+                # max_depth (amof/coordination/core.py:379-384 checks the
+                # full nx.simple_cycles enumeration), so the check must be
+                # unbounded — a graph whose smallest over-limit cycle has
+                # length >= max_depth+2 must still raise
+                if self._has_cycle_longer_than(graph, max_depth):
                     raise SearchError(
                         "max_depth exceeded in cycle search", self.report_search
                     )

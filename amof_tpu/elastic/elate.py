@@ -87,6 +87,13 @@ def _parse_matrix(s):
     return 0.5 * (mat + mat.T)
 
 
+
+def _scalar(v) -> float:
+    """float() of a scalar or 1-element array (scipy optimizers hand
+    back shape-(1,) x; float(ndarray) with ndim>0 is a TypeError in
+    future NumPy — ADVICE r1)."""
+    return float(np.asarray(v).reshape(-1)[0])
+
 class Elastic:
     """A 6x6 stiffness matrix with directional-property analysis."""
 
@@ -190,50 +197,50 @@ class Elastic:
     def shear2D(self, x):
         """(min, max) shear over chi for fixed (theta, phi)."""
         r1 = optimize.minimize(
-            lambda z: self.shear([x[0], x[1], float(z)]), np.pi / 2,
+            lambda z: self.shear([x[0], x[1], _scalar(z)]), np.pi / 2,
             method="Powell", options={"xtol": 0.01, "ftol": 0.001},
         )
         r2 = optimize.minimize(
-            lambda z: -self.shear([x[0], x[1], float(z)]), np.pi / 2,
+            lambda z: -self.shear([x[0], x[1], _scalar(z)]), np.pi / 2,
             method="Powell", options={"xtol": 0.01, "ftol": 0.001},
         )
-        return float(r1.fun), -float(r2.fun)
+        return _scalar(r1.fun), -_scalar(r2.fun)
 
     def shear3D(self, theta, phi, guess1=np.pi / 2, guess2=np.pi / 2):
         r1 = optimize.minimize(
-            lambda z: self.shear([theta, phi, float(z)]), guess1,
+            lambda z: self.shear([theta, phi, _scalar(z)]), guess1,
             method="COBYLA", options={"tol": 0.005},
         )
         r2 = optimize.minimize(
-            lambda z: -self.shear([theta, phi, float(z)]), guess2,
+            lambda z: -self.shear([theta, phi, _scalar(z)]), guess2,
             method="COBYLA", options={"tol": 0.005},
         )
-        return float(r1.fun), -float(r2.fun), float(r1.x), float(r2.x)
+        return _scalar(r1.fun), -_scalar(r2.fun), _scalar(r1.x), _scalar(r2.x)
 
     def Poisson2D(self, x):
         """(min_neg, min_pos_clamped, max) Poisson over chi."""
         r1 = optimize.minimize(
-            lambda z: self.Poisson([x[0], x[1], float(z)]), np.pi / 2,
+            lambda z: self.Poisson([x[0], x[1], _scalar(z)]), np.pi / 2,
             method="Powell", options={"xtol": 0.01, "ftol": 0.001},
         )
         r2 = optimize.minimize(
-            lambda z: -self.Poisson([x[0], x[1], float(z)]), np.pi / 2,
+            lambda z: -self.Poisson([x[0], x[1], _scalar(z)]), np.pi / 2,
             method="Powell", options={"xtol": 0.01, "ftol": 0.001},
         )
-        return min(0.0, float(r1.fun)), max(0.0, float(r1.fun)), -float(r2.fun)
+        return min(0.0, _scalar(r1.fun)), max(0.0, _scalar(r1.fun)), -_scalar(r2.fun)
 
     def poisson3D(self, theta, phi, guess1=np.pi / 2, guess2=np.pi / 2):
         r1 = optimize.minimize(
-            lambda z: self.Poisson([theta, phi, float(z)]), guess1,
+            lambda z: self.Poisson([theta, phi, _scalar(z)]), guess1,
             method="COBYLA", options={"tol": 0.005},
         )
         r2 = optimize.minimize(
-            lambda z: -self.Poisson([theta, phi, float(z)]), guess2,
+            lambda z: -self.Poisson([theta, phi, _scalar(z)]), guess2,
             method="COBYLA", options={"tol": 0.005},
         )
         return (
-            min(0.0, float(r1.fun)), max(0.0, float(r1.fun)),
-            -float(r2.fun), float(r1.x), float(r2.x),
+            min(0.0, _scalar(r1.fun)), max(0.0, _scalar(r1.fun)),
+            -_scalar(r2.fun), _scalar(r1.x), _scalar(r2.x),
         )
 
     # -- global extrema over direction grids ------------------------------

@@ -7,6 +7,8 @@ ring statistics (amof/ring/core.py:142-149) and elastic constants
 are not dependencies of this rebuild; this module provides the small
 subset actually used — named dims, 1-d coordinates, exact-label selection,
 fillna, and netCDF-3 (classic) file round-trip via scipy.io.netcdf_file.
+netCDF-4 (HDF5-based) files — what the reference writes when the
+netcdf4 package is installed — are additionally readable through h5py.
 
 String coordinates are stored as netCDF-3 char matrices with a
 ``string<N>`` auxiliary dimension (the same convention xarray uses), so
@@ -238,6 +240,66 @@ class Dataset:
 
     @classmethod
     def from_netcdf(cls, path) -> "Dataset":
+        """Read a netCDF file: classic netCDF-3 via scipy, or netCDF-4
+        (HDF5-based, what the reference's xarray writes when netcdf4 is
+        installed) via h5py (ADVICE r1: reference-produced outputs must
+        be readable)."""
+        with open(path, "rb") as fh:
+            magic = fh.read(8)
+        if magic.startswith(b"\x89HDF"):
+            return cls._from_netcdf4_h5(path)
+        return cls._from_netcdf3(path)
+
+    @classmethod
+    def _from_netcdf4_h5(cls, path) -> "Dataset":
+        import h5py
+
+        coords: Dict[str, np.ndarray] = {}
+        data: Dict[str, Tuple[Tuple[str, ...], np.ndarray]] = {}
+
+        def decode(ds):
+            values = ds[()]
+            if h5py.check_string_dtype(ds.dtype) is not None:
+                flat = [
+                    x.decode() if isinstance(x, bytes) else str(x)
+                    for x in np.ravel(values)
+                ]
+                values = np.array(flat).reshape(np.shape(values))
+            return np.asarray(values)
+
+        with h5py.File(str(path), "r") as f:
+            for name, ds in f.items():
+                if not isinstance(ds, h5py.Dataset):
+                    continue
+                # netCDF-4 phony dimensions carry a marker NAME and no data
+                nc_name = ds.attrs.get("NAME", b"")
+                if isinstance(nc_name, bytes) and nc_name.startswith(
+                    b"This is a netCDF dimension but not a netCDF variable"
+                ):
+                    continue
+                vdims = []
+                for i, dim in enumerate(ds.dims):
+                    if len(dim) > 0:
+                        vdims.append(dim[0].name.split("/")[-1])
+                    else:
+                        vdims.append(name if ds.ndim == 1 else f"dim_{i}")
+                vdims = tuple(vdims)
+                values = decode(ds)
+                is_scale = ds.attrs.get("CLASS", b"") == b"DIMENSION_SCALE"
+                if is_scale and vdims == (name,):
+                    coords[name] = values
+                else:
+                    data[name] = (vdims, values)
+        ds_out = cls()
+        for name, (vdims, values) in data.items():
+            c = {d: coords[d] for d in vdims if d in coords}
+            ds_out.data_vars[name] = DataArray(
+                values, coords=c, dims=vdims, name=name
+            )
+        return ds_out
+
+    @classmethod
+    def _from_netcdf3(cls, path) -> "Dataset":
         with netcdf_file(str(path), "r", mmap=False) as f:
             dims = dict(f.dimensions)
             coords: Dict[str, np.ndarray] = {}

@@ -93,6 +93,12 @@ def _mxu_histogram(k, weight, total: int, lo: int = 128,
     One-hot operands are bf16 (0/1 exact) with f32 accumulation; per-dot
     partial counts <= block stay exact. ``k`` may contain the sentinel
     ``total`` (overflow); an extra hi row absorbs it and is dropped.
+
+    CONTRACT: ``weight`` values must be exactly representable in
+    bfloat16 (all call sites pass 0/1 masks) — the weight is multiplied
+    into the bf16 one-hot operand, so a general f32 weight would
+    silently round to 8 mantissa bits. Apply non-binary weights (e.g.
+    per-frame volume) to the f32 result instead (ADVICE r1).
     """
     if block is None:
         block = MXU_HISTOGRAM_BLOCK

@@ -125,6 +125,26 @@ class TestCoordinationCore:
         out = CoordinationSearch._simple_cycles_bounded(adj, None, 5)
         assert sorted(sorted(c) for c in out) == [[0, 1, 2], [2, 3, 4]]
 
+    def test_exit_if_large_cycle_hexagon(self):
+        """A graph whose only cycle is a hexagon must raise with
+        max_depth=4 — the reference raises on ANY over-limit simple
+        cycle, however much larger (ADVICE r1: max_depth+1 probing
+        missed cycles of length >= max_depth+2)."""
+        f = Frame(np.random.rand(6, 3) * 5, [6] * 6, np.eye(3) * 10)
+        s = make_search(f)
+        adj = [set() for _ in range(6)]
+        for a in range(6):
+            adj[a] |= {(a + 1) % 6, (a - 1) % 6}
+        with pytest.raises(SearchError, match="max_depth exceeded"):
+            s.find_rings(adj, max_depth=4, exit_if_large_cycle=True)
+        # triangles only: no over-limit cycle, must not raise
+        adj3 = [set() for _ in range(6)]
+        for a, b in [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]:
+            adj3[a].add(b)
+            adj3[b].add(a)
+        out = s.find_rings(adj3, max_depth=4, exit_if_large_cycle=True)
+        assert len(out) == 2
+
 
 class TestZifReduction:
     def test_zif4_full_reduction(self, zif4_frame):

@@ -92,3 +92,44 @@ class TestNetcdf:
         da = DataArray(np.zeros(2), coords={"x": np.array([1, 2])}, dims=("x",))
         with pytest.raises(KeyError):
             da.sel(x=99)
+
+
+class TestNetcdf4Read:
+    """Reading netCDF-4 (HDF5) files — the format the reference's xarray
+    writes when netcdf4 is installed (ADVICE r1)."""
+
+    def _write_nc4(self, path, values, step_coord, str_coord):
+        """Emulate the netCDF-4/HDF5 layout xarray+netCDF4 produce:
+        dimension-scale datasets attached to variable dims."""
+        import h5py
+
+        with h5py.File(path, "w") as f:
+            step = f.create_dataset("Step", data=step_coord)
+            step.make_scale("Step")
+            strs = f.create_dataset(
+                "ring_var",
+                data=np.array(str_coord, dtype=h5py.string_dtype()),
+            )
+            strs.make_scale("ring_var")
+            var = f.create_dataset("rings", data=values)
+            var.dims[0].attach_scale(step)
+            var.dims[1].attach_scale(strs)
+
+    def test_read_netcdf4_numeric_and_string_coords(self, tmp_path):
+        import pytest
+
+        pytest.importorskip("h5py")
+        from amof_tpu.labeled import open_dataset
+
+        path = str(tmp_path / "ref.ring")
+        values = np.arange(8, dtype=np.float64).reshape(4, 2)
+        self._write_nc4(path, values, np.arange(4) * 10, ["RC", "PN"])
+        ds = open_dataset(path)
+        da = ds["rings"]
+        assert da.dims == ("Step", "ring_var")
+        assert np.array_equal(da.get_coord("Step"), np.arange(4) * 10)
+        assert list(da.get_coord("ring_var")) == ["RC", "PN"]
+        np.testing.assert_array_equal(da.values, values)
+        np.testing.assert_array_equal(
+            da.sel(ring_var="PN").values, values[:, 1]
+        )
