@@ -81,8 +81,10 @@ def reduce_trajectory_core(trajectory, structure_reducer, symbols,
                            filename=None, delta_Step=1, first_frame=0,
                            parallel=False, write_mfpx=False):
     """Run a structure reducer over every frame, assembling a
-    ReducedTrajectory with per-frame report_search rows."""
-    del parallel  # the per-frame searches run sequentially on host
+    ReducedTrajectory with per-frame report_search rows. ``parallel``
+    follows the reference semantics (False/True/int — joblib fan-out at
+    amof/coordination/reduce.py:113-117); the rule programs are pure
+    Python, so the pool uses loky processes when available."""
     frames = as_frames(trajectory)
     logger.info("Start reducing trajectory for %s frames", len(frames))
     step = amof_tpu.trajectory.construct_step(
@@ -118,9 +120,13 @@ def reduce_trajectory_core(trajectory, structure_reducer, symbols,
             reduced = None
         return reduced, report_search
 
-    result_list = [
-        per_frame(frames[i], step[i], filename) for i in range(len(frames))
-    ]
+    from amof_tpu.parallel.host import parallel_map
+
+    result_list = parallel_map(
+        lambda args: per_frame(*args),
+        ((frames[i], step[i], filename) for i in range(len(frames))),
+        parallel, prefer="processes",
+    )
 
     list_report_search = []
     reduced_traj = []

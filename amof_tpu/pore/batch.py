@@ -1,0 +1,285 @@
+"""
+Batched, mesh-sharded pore analysis — the scale path for ``-sa -vol``.
+
+The reference runs Zeo++ once per frame under a joblib pool
+(amof/pore/core.py:52-61); round 1 of this rebuild ran the in-process
+grid analysis once per frame too, paying a device dispatch (and, on the
+tunneled TPU, a network round trip) per frame. This module compiles ONE
+program that maps the full grid pipeline (distance field -> periodic
+flood fill -> voxel volume integration -> per-atom surface sampling)
+over every frame of a FrameBatch, sharded over the 'frames' axis of the
+analysis mesh — the same SPMD shape as the fused RDF/BAD/CN/MSD step
+(VERDICT r1 next #2).
+
+Grid dims, window widths, and sample counts are static per trajectory
+(computed conservatively over all frames, so NPT cells work); window
+misses are detected exactly per frame and those frames are recomputed
+through the exact per-frame path.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from amof_tpu.core.frames import as_frame_batch
+from amof_tpu.data import elements
+from amof_tpu.ops.pair_engine import matvec3
+from amof_tpu.pore import grid_kernel
+from amof_tpu.pore.zeopp import (
+    A2_PER_A3_TO_M2_PER_CM3,
+    A2_TO_M2,
+    A3_TO_CM3,
+    AMU_TO_G,
+    DEFAULT_CHAN_RADIUS,
+    DEFAULT_NUM_SAMPLES,
+    DEFAULT_PROBE_RADIUS,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def _make_frame_fn(
+    radii,  # f32[N] constant
+    dirs,  # f32[K, 3] constant
+    grid,
+    probe: float,
+    chan: float,
+    dist_window: Optional[int],
+    dxa: float,
+    surf_window: Optional[int],
+):
+    """Per-frame traced function: (pos, cell, volume) ->
+    (asa, nasa, av, nav, missed)."""
+    n_vox = grid[0] * grid[1] * grid[2]
+    dmax = max(probe, chan) + 1e-3
+
+    def frame_fn(args):
+        pos, cell, volume = args
+        inv_cell = jnp.linalg.inv(cell)
+        frac = matvec3(pos, inv_cell)
+        frac = frac - jnp.floor(frac)
+
+        if dist_window is not None:
+            dist, miss_d = grid_kernel.distance_grid_windowed(
+                frac, cell, radii, grid, dmax=dmax, dxa=dxa,
+                window=dist_window,
+            )
+        else:
+            dist = grid_kernel.distance_grid(frac, cell, radii, grid)
+            miss_d = jnp.zeros((), bool)
+
+        mask, accessible, pocket = grid_kernel.void_classification(
+            dist, chan
+        )
+        if probe != chan:
+            fit = dist >= probe
+            acc_fit = fit & accessible
+            poc_fit = fit & ~accessible
+        else:
+            acc_fit, poc_fit = accessible, pocket
+
+        voxel_volume = volume / n_vox
+        av = jnp.sum(acc_fit) * voxel_volume
+        nav = jnp.sum(poc_fit) * voxel_volume
+
+        if surf_window is not None:
+            a_s, n_s, _, r_sorted, miss_s = (
+                grid_kernel.surface_point_classification_windowed(
+                    frac, cell, radii, probe, dirs, accessible, pocket,
+                    grid, window=surf_window,
+                )
+            )
+            areas = 4.0 * np.pi * (r_sorted + probe) ** 2
+        else:
+            a_s, n_s = grid_kernel.surface_point_classification(
+                frac, cell, radii, probe, dirs, accessible, pocket, grid
+            )
+            areas = 4.0 * np.pi * (radii + probe) ** 2
+            miss_s = jnp.zeros((), bool)
+        k = dirs.shape[0]
+        asa = jnp.sum(areas * a_s) / k
+        nasa = jnp.sum(areas * n_s) / k
+        return (
+            asa.astype(jnp.float32), nasa.astype(jnp.float32),
+            av.astype(jnp.float32), nav.astype(jnp.float32),
+            miss_d | miss_s,
+        )
+
+    return frame_fn
+
+
+class BatchedPore:
+    """Compiled -sa/-vol pore analysis over a FrameBatch on a mesh."""
+
+    def __init__(
+        self,
+        probe_radius: float = DEFAULT_PROBE_RADIUS,
+        chan_radius: float = DEFAULT_CHAN_RADIUS,
+        num_samples: int = DEFAULT_NUM_SAMPLES,
+        radii: Optional[Dict[str, float]] = None,
+        resolution: float = 0.2,
+        grid: Optional[tuple] = None,
+        window="auto",
+    ):
+        self.probe_radius = float(probe_radius)
+        self.chan_radius = float(chan_radius)
+        self.num_samples = int(num_samples)
+        self.radii = radii
+        self.resolution = float(resolution)
+        self.grid = grid
+        self.window = window
+
+    def prepare(self, batch, mesh=None):
+        """Resolve static shapes; returns (step_fn, args, meta)."""
+        from amof_tpu.parallel.mesh import analysis_mesh
+
+        batch = as_frame_batch(batch)
+        mesh = mesh or analysis_mesh(n_frames=batch.num_frames)
+        if batch.num_frames % mesh.shape["frames"]:
+            raise ValueError(
+                f"frame count ({batch.num_frames}) not divisible by the "
+                f"mesh 'frames' axis ({mesh.shape['frames']})"
+            )
+        cells = np.asarray(batch.cell, np.float64)
+        rad_table = elements.vdw_radius_array(overrides=self.radii)
+        radii = rad_table[np.asarray(batch.species)].astype(np.float32)
+        n_at = len(radii)
+        volumes = np.abs(np.linalg.det(cells)).astype(np.float32)
+        masses = elements.mass_of(np.asarray(batch.species))
+        mass_amu = float(np.sum(masses))
+
+        # static grid dims: conservative per-axis max over NPT frames
+        if self.grid is None:
+            lengths = np.linalg.norm(cells, axis=2).max(axis=0)
+            grid = tuple(
+                int(max(8, np.ceil(l / self.resolution))) for l in lengths
+            )
+        else:
+            grid = tuple(self.grid)
+
+        # sorted-window sizing (static, conservative over frames):
+        # same estimates as zeopp.analyze_frame but with the min slab
+        # width across the trajectory
+        probe, chan = self.probe_radius, self.chan_radius
+        dmax = max(probe, chan) + 1e-3
+        bxc = np.cross(cells[:, 1], cells[:, 2])
+        w0 = float(
+            (np.abs(np.einsum("fi,fi->f", cells[:, 0], bxc))
+             / np.linalg.norm(bxc, axis=1)).min()
+        )
+        dxa = float(
+            np.ceil((dmax + float(radii.max())) / w0 / 5e-3) * 5e-3
+        )
+        dist_window = surf_window = None
+        if self.window is not None:
+            chunk = 1024
+            span = (chunk // (grid[1] * grid[2]) + 2) / grid[0]
+            if self.window == "auto":
+                w_est = 1.3 * n_at * (span + 2 * dxa) + 64
+                dist_window = int(-(-w_est // 128) * 128)
+            else:
+                dist_window = int(self.window)
+            if dist_window >= n_at:
+                dist_window = None
+            reach = 2.0 * (float(radii.max()) + probe)
+            w_est = 1.3 * n_at * 2.0 * reach / w0 + 64
+            surf_window = int(-(-w_est // 128) * 128)
+            if 32 + 2 * surf_window >= n_at:
+                surf_window = None
+
+        k = max(50, self.num_samples // max(1, n_at))
+        dirs = grid_kernel.fibonacci_sphere(k)
+
+        frame_fn = _make_frame_fn(
+            jnp.asarray(radii), jnp.asarray(dirs), grid, probe, chan,
+            dist_window, dxa, surf_window,
+        )
+
+        def step(positions, cells_f, volumes_f):
+            return jax.lax.map(frame_fn, (positions, cells_f, volumes_f))
+
+        step_fn = jax.jit(
+            shard_map(
+                step, mesh=mesh,
+                in_specs=(P("frames"), P("frames"), P("frames")),
+                out_specs=P("frames"),
+                check_vma=False,
+            )
+        )
+        args = (
+            np.asarray(batch.positions, np.float32),
+            np.asarray(batch.cell, np.float32),
+            volumes,
+        )
+        meta = {
+            "grid": grid, "mesh": mesh, "mass_amu": mass_amu,
+            "volumes": volumes, "dist_window": dist_window,
+            "surf_window": surf_window, "k": k,
+        }
+        return step_fn, args, meta
+
+    def run(self, batch, mesh=None):
+        """Returns (records, meta): one dict of Zeo++ -sa/-vol output
+        fields per frame (amof/pore/core.py:70-82 field names)."""
+        batch = as_frame_batch(batch)
+        step_fn, args, meta = self.prepare(batch, mesh)
+        asa, nasa, av, nav, missed = (
+            np.asarray(v) for v in step_fn(*args)
+        )
+        missed = missed.astype(bool)
+        if missed.any():
+            # window misses are exact flags; recompute those frames
+            # through the unwindowed per-frame path
+            from amof_tpu.pore import zeopp
+
+            idx = np.nonzero(missed)[0]
+            logger.info(
+                "sorted-window capacity missed on %d/%d frames; "
+                "recomputing them exactly", len(idx), len(missed),
+            )
+            for i in idx:
+                out = zeopp.analyze_frame(
+                    batch.frame(int(i)), sa=True, vol=True,
+                    probe_radius=self.probe_radius,
+                    chan_radius=self.chan_radius,
+                    num_samples=self.num_samples, radii=self.radii,
+                    resolution=self.resolution, grid=meta["grid"],
+                    window=None,
+                )
+                asa[i], nasa[i] = out["ASA_A^2"], out["NASA_A^2"]
+                av[i], nav[i] = out["AV_A^3"], out["NAV_A^3"]
+
+        volume = meta["volumes"].astype(np.float64)
+        mass_g = meta["mass_amu"] * AMU_TO_G
+        records = []
+        for i in range(len(av)):
+            records.append({
+                "Unitcell_volume": float(volume[i]),
+                "Density": mass_g / (float(volume[i]) * A3_TO_CM3),
+                "ASA_A^2": float(asa[i]),
+                "ASA_m^2/cm^3": float(asa[i]) / float(volume[i])
+                * A2_PER_A3_TO_M2_PER_CM3,
+                "ASA_m^2/g": float(asa[i]) * A2_TO_M2 / mass_g,
+                "NASA_A^2": float(nasa[i]),
+                "NASA_m^2/cm^3": float(nasa[i]) / float(volume[i])
+                * A2_PER_A3_TO_M2_PER_CM3,
+                "NASA_m^2/g": float(nasa[i]) * A2_TO_M2 / mass_g,
+                "AV_A^3": float(av[i]),
+                "AV_Volume_fraction": float(av[i]) / float(volume[i]),
+                "AV_cm^3/g": float(av[i]) * A3_TO_CM3 / mass_g,
+                "NAV_A^3": float(nav[i]),
+                "NAV_Volume_fraction": float(nav[i]) / float(volume[i]),
+                "NAV_cm^3/g": float(nav[i]) * A3_TO_CM3 / mass_g,
+            })
+        return records, meta

@@ -48,12 +48,36 @@ class Pore:
         pore_class.compute_surface_volume(frames, step, parallel, **kwargs)
         return pore_class
 
+    _BATCHABLE_KWARGS = frozenset(
+        ("probe_radius", "chan_radius", "num_samples", "radii",
+         "resolution", "grid", "window")
+    )
+
     def compute_surface_volume(self, frames, step, parallel=False, **kwargs):
-        del parallel  # frames run sequentially on device; batching TBD
+        # `parallel` is the reference's joblib toggle (amof/pore/core.py:
+        # 52-61); the TPU-native equivalent — one compiled program mapped
+        # over all frames, sharded over the mesh — is strictly better, so
+        # it is the default whenever the frames batch (static species)
+        # and only -sa/-vol options are requested.
+        del parallel
         logger.info(
             "Start pore analysis for volume and surfaces for %s frames",
             len(frames),
         )
+        if set(kwargs) <= self._BATCHABLE_KWARGS:
+            try:
+                from amof_tpu.pore.batch import BatchedPore
+
+                records, _ = BatchedPore(**kwargs).run(frames)
+                self.data = pd.DataFrame(
+                    [{"Step": s, **rec} for s, rec in zip(step, records)]
+                )
+                return
+            except Exception:
+                logger.warning(
+                    "batched pore path failed; falling back to the "
+                    "per-frame path", exc_info=True,
+                )
         list_of_dict = []
         for i, frame in enumerate(frames):
             logger.debug("compute frame # %s out of %s", i + 1, len(frames))

@@ -257,12 +257,39 @@ def propagate_channel(channel_seed, mask, sweeps: int = 8):
     return labels == 1
 
 
+@jax.jit
+def winding_seeds(open_labels, mask):
+    """Voxels on a periodic face where the OPEN component meets itself
+    across the wrap (label equal on opposite faces) — a seed set that
+    intersects every winding (infinite-channel) component. Scatter-free:
+    ``percolating_flags`` builds the same information through a
+    voxel-count-sized scatter-max, which serializes on TPU; the
+    subsequent periodic flood fill spreads seeds through the whole
+    component anyway, so face seeds are sufficient."""
+    seeds = jnp.zeros(mask.shape, bool)
+    for axis in range(3):
+        sl_last = [slice(None)] * 3
+        sl_last[axis] = -1
+        sl_first = [slice(None)] * 3
+        sl_first[axis] = 0
+        a = open_labels[tuple(sl_last)]
+        b = open_labels[tuple(sl_first)]
+        wins = (a == b) & (a >= 0)
+        seeds = seeds.at[tuple(sl_last)].set(
+            seeds[tuple(sl_last)] | wins
+        )
+        seeds = seeds.at[tuple(sl_first)].set(
+            seeds[tuple(sl_first)] | wins
+        )
+    return seeds & mask
+
+
 def void_classification(dist, r_probe):
     """(mask, accessible, pocket) voxel masks for a probe radius."""
     mask = dist >= r_probe
     open_labels = label_components(mask, periodic=False)
-    winding = percolating_flags(open_labels, mask)
-    accessible = propagate_channel(winding, mask)
+    seeds = winding_seeds(open_labels, mask)
+    accessible = propagate_channel(seeds, mask)
     pocket = mask & ~accessible
     return mask, accessible, pocket
 
@@ -390,9 +417,11 @@ def surface_point_classification_windowed(
     [chunk + 2*window] slice of sorted order instead of all N atoms. An
     exact full-range candidate count per center flags any window miss.
 
-    Returns (acc_counts, nacc_counts, orig_idx, missed): counts are in
-    sorted order; scatter them back with ``out[orig_idx] = counts``
-    (orig_idx is -1 for internal padding rows).
+    Returns (acc_counts, nacc_counts, orig_idx, sorted_radii, missed):
+    counts are in sorted order; scatter them back with
+    ``out[orig_idx] = counts`` (orig_idx is -1 for internal padding
+    rows), or weight them directly with ``sorted_radii`` (same order as
+    the counts) when the per-atom identity is not needed.
     """
     gx, gy, gz = grid
     n = frac_atoms.shape[0]
@@ -492,5 +521,5 @@ def surface_point_classification_windowed(
     starts = jnp.arange(0, n_pad, chunk)
     acc, nacc, missed = jax.lax.map(chunk_counts, starts)
     return (
-        acc.reshape(-1), nacc.reshape(-1), gis, jnp.any(missed)
+        acc.reshape(-1), nacc.reshape(-1), gis, rs[:n], jnp.any(missed)
     )

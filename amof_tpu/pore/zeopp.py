@@ -147,7 +147,7 @@ def analyze_frame(
             w_est = 1.3 * len(atom_radii) * 2.0 * reach / w0 + 64
             w_surf = int(-(-w_est // 128) * 128)
             if 32 + 2 * w_surf < len(atom_radii):
-                a_s, n_s, gis, missed = (
+                a_s, n_s, gis, _, missed = (
                     grid_kernel.surface_point_classification_windowed(
                         frac, cell, atom_radii, float(probe_radius), dirs,
                         accessible, pocket, grid, window=w_surf,

@@ -173,20 +173,27 @@ class Ring:
 
     def compute_ring(self, frames, nb_set_and_cutoff_list, step,
                      parallel=False):
-        del parallel
         logger.info("Start ring analysis for %s frames", len(frames))
+        from amof_tpu.native import get_lib
+        from amof_tpu.parallel.host import parallel_map
+
+        get_lib()  # build/load the C++ enumerator once, outside the pool
+
+        results = parallel_map(
+            lambda args: self.compute_ring_for_frame(*args),
+            zip(frames, step, nb_set_and_cutoff_list),
+            parallel,
+            # the census releases the GIL inside the ctypes enumerator
+            prefer="threads",
+        )
         list_report_search = []
         list_of_arrays = []
         kept_steps = []
-        for i, frame in enumerate(frames):
-            logger.debug("compute frame # %s out of %s", i + 1, len(frames))
-            arr, report = self.compute_ring_for_frame(
-                frame, step[i], nb_set_and_cutoff_list[i]
-            )
+        for (arr, report), step_i in zip(results, step):
             list_report_search.append(report)
             if arr is not None:
                 list_of_arrays.append(arr)
-                kept_steps.append(step[i])
+                kept_steps.append(step_i)
 
         self.report_search = pd.DataFrame(list_report_search).set_index("Step")
 

@@ -1,12 +1,13 @@
 """
-Benchmark: fused RDF+BAD+CN+MSD analysis throughput (frames/sec).
+Benchmark: full RDF+BAD+CN+MSD+pore analysis throughput (frames/sec).
 
 Workload mirrors the driver's north star (BASELINE.json): a 10k-atom
 amorphous-ZIF-composition trajectory analyzed with the fused on-device
-pipeline. The baseline is the target "10k frames RDF+BAD+CN+MSD(+pore)
-in < 60 s on a v5e-8", i.e. 166.7 frames/s on 8 chips = 20.83 frames/s
-per chip; vs_baseline is measured single-chip frames/s over that
-per-chip figure.
+pipeline PLUS the batched pore (-sa -vol) analysis — all five analyses
+the north star specifies. The baseline is the target "10k frames in
+< 60 s on a v5e-8", i.e. 166.7 frames/s on 8 chips = 20.83 frames/s per
+chip; vs_baseline is measured single-chip frames/s over that per-chip
+figure.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Extra diagnostics go to stderr.
@@ -61,6 +62,12 @@ def main():
                         help="tiny shapes for a fast correctness run")
     parser.add_argument("--no-bad", action="store_true")
     parser.add_argument("--no-msd", action="store_true")
+    parser.add_argument("--no-pore", action="store_true")
+    parser.add_argument("--pore-resolution", type=float, default=0.25,
+                        help="pore voxel grid resolution in Angstrom")
+    parser.add_argument("--pore-frames", type=int, default=None,
+                        help="time pore on this many frames and scale "
+                             "to the full count (default: all frames)")
     parser.add_argument("--max-neighbors", type=int, default=8,
                         help="initial BAD neighbor capacity; doubled "
                              "automatically while the overflow flag fires")
@@ -82,7 +89,7 @@ def main():
         f"atoms={args.atoms}", file=sys.stderr,
     )
     batch, box = make_trajectory(args.frames, args.atoms)
-    mesh = analysis_mesh()  # all available devices, frames axis
+    mesh = analysis_mesh(n_frames=args.frames)  # all available devices
 
     k_cap = args.max_neighbors
     while True:
@@ -124,18 +131,62 @@ def main():
         out = run_once()
         times.append(time.time() - t0)
     best = min(times)
-    frames_per_sec = args.frames / best
+    fused_fps = args.frames / best
+    print(
+        f"bench: fused times={['%.3f' % t for t in times]} "
+        f"({fused_fps:.1f} f/s) "
+        f"rdf_total={float(np.asarray(out['rdf_counts']).sum()):.3e}",
+        file=sys.stderr,
+    )
+
+    per_frame_total = best / args.frames
+    analyses = "RDF+BAD+CN+MSD"
+    if not args.no_pore:
+        from amof_tpu.pore.batch import BatchedPore
+
+        n_pore = args.pore_frames or args.frames
+        pore_batch = batch if n_pore == args.frames else batch._replace(
+            positions=batch.positions[:n_pore], cell=batch.cell[:n_pore],
+            step=batch.step[:n_pore],
+        )
+        bp = BatchedPore(resolution=args.pore_resolution)
+        pore_fn, pore_args, pore_meta = bp.prepare(pore_batch, mesh=mesh)
+        pore_args = jax.device_put(pore_args)
+
+        def pore_once():
+            res = pore_fn(*pore_args)
+            vals = [float(np.asarray(v).sum()) for v in res[:4]]
+            assert not np.asarray(res[4]).any(), "pore window miss"
+            return vals
+
+        t0 = time.time()
+        vals = pore_once()
+        print(f"bench: pore first call (compile+run) "
+              f"{time.time() - t0:.1f}s grid={pore_meta['grid']} "
+              f"windows={pore_meta['dist_window']},"
+              f"{pore_meta['surf_window']}", file=sys.stderr)
+        pore_times = []
+        for _ in range(args.repeats):
+            t0 = time.time()
+            vals = pore_once()
+            pore_times.append(time.time() - t0)
+        pore_per_frame = min(pore_times) / n_pore
+        print(
+            f"bench: pore times={['%.3f' % t for t in pore_times]} "
+            f"({1 / pore_per_frame:.1f} f/s over {n_pore} frames) "
+            f"asa_total={vals[0]:.4g} av_total={vals[2]:.4g}",
+            file=sys.stderr,
+        )
+        per_frame_total += pore_per_frame
+        analyses += "+pore"
+
+    frames_per_sec = 1.0 / per_frame_total
     n_chips = len(jax.devices())
     baseline_per_chip = 10000.0 / 60.0 / 8.0  # north star scaled per chip
     vs_baseline = frames_per_sec / (baseline_per_chip * n_chips)
 
-    print(
-        f"bench: times={['%.3f' % t for t in times]} "
-        f"rdf_total={float(np.asarray(out['rdf_counts']).sum()):.3e}",
-        file=sys.stderr,
-    )
     print(json.dumps({
-        "metric": "frames/sec fused RDF+BAD+CN+MSD, 10k-atom amorphous ZIF",
+        "metric": f"frames/sec {analyses}, 10k-atom amorphous ZIF",
         "value": round(frames_per_sec, 3),
         "unit": "frames/sec",
         "vs_baseline": round(vs_baseline, 4),

@@ -135,3 +135,70 @@ def test_fused_pipeline_npt_cells():
     v_shell = shell_volumes(meta["bins"], 0.1)
     g_xx = counts.sum(axis=(0, 1)) / (f * n * n * v_shell)
     assert np.allclose(g_xx, rdf.data["X-X"][:meta["bins"]], rtol=1e-5)
+
+
+class TestHostParallelMap:
+    """The reference's joblib frame fan-out equivalents for host-side
+    analyses (VERDICT r1 next #3)."""
+
+    def test_resolve_semantics(self):
+        from amof_tpu.parallel.host import resolve_n_workers
+
+        assert resolve_n_workers(False, 100) == 1
+        assert resolve_n_workers(None, 100) == 1
+        assert resolve_n_workers(True, 100) >= 2
+        assert resolve_n_workers(4, 100) == 4
+        assert resolve_n_workers(4, 2) == 2  # capped at items
+
+    def test_order_preserved_threads(self):
+        from amof_tpu.parallel.host import parallel_map
+
+        out = parallel_map(lambda x: x * x, range(17), 4)
+        assert out == [x * x for x in range(17)]
+
+    def test_processes_backend(self):
+        from amof_tpu.parallel.host import parallel_map
+
+        out = parallel_map(lambda x: x + 1, range(5), 2,
+                           prefer="processes")
+        assert out == [1, 2, 3, 4, 5]
+
+    def test_exceptions_propagate(self):
+        from amof_tpu.parallel.host import parallel_map
+
+        def boom(x):
+            raise RuntimeError("frame failure")
+
+        with pytest.raises(RuntimeError, match="frame failure"):
+            parallel_map(boom, range(4), 2)
+
+    def test_ring_parallel_equals_serial(self, zif4_frame):
+        import amof_tpu.ring as amring
+
+        cutoffs = {"Zn-N": 2.2, "C-N": 1.7, "C-C": 1.7, "C-H": 1.3,
+                   "N-H": 1.3}
+        frames = [zif4_frame, zif4_frame]
+        serial = amring.Ring.from_trajectory(
+            frames, cutoffs, max_search_depth=12, parallel=False)
+        par = amring.Ring.from_trajectory(
+            frames, cutoffs, max_search_depth=12, parallel=2)
+        assert serial.data.keys() == par.data.keys()
+        if "ring" in serial.data.keys():
+            np.testing.assert_allclose(
+                par.data["ring"].values, serial.data["ring"].values)
+        assert serial.report_search.equals(par.report_search)
+
+    def test_reduce_parallel_equals_serial(self, zif4_frame):
+        import amof_tpu.coordination.reduce as amreduce
+
+        frames = [zif4_frame, zif4_frame]
+        serial = amreduce.reduce_trajectory(frames, "ZIF-4",
+                                            parallel=False)
+        par = amreduce.reduce_trajectory(frames, "ZIF-4", parallel=2)
+        assert len(par.trajectory) == len(serial.trajectory) == 2
+        assert par.report_search["number_of_nodes"].tolist() == \
+            serial.report_search["number_of_nodes"].tolist()
+        np.testing.assert_allclose(
+            par.trajectory[0].get_positions(),
+            serial.trajectory[0].get_positions(),
+        )
