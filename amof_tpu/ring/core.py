@@ -46,6 +46,32 @@ logger = logging.getLogger(__name__)
 
 RING_VARS = ["RC", "PN", "Pmax", "Pmin"]
 
+# The reference takes its ring_var coordinate verbatim from the
+# RINGS-res-5.dat line-2 header (amof/ring/core.py:170-175), whose
+# literal spellings vary across RINGS versions/outputs of the same
+# quantities — Le Roux & Jund, Comput. Mater. Sci. 49 (2010) 70-83,
+# §"connectivity profiles": Rc(n) rings per cell, P_N(n), P_max(n),
+# P_min(n). This rebuild uses the canonical short names in RING_VARS
+# and normalizes any alias spelling on read, so `.sel(ring_var=...)`
+# code works against files written by either implementation.
+_RING_VAR_CANONICAL = {
+    "rc": "RC",
+    "rn": "RC",
+    "pn": "PN",
+    "pmax": "Pmax",
+    "pmin": "Pmin",
+}
+
+
+def normalize_ring_var(name: str) -> str:
+    """Map a RINGS header spelling ('Rc(n)', ' P_N(n)', 'pmax', ...) to
+    the canonical RING_VARS name; unknown names pass through."""
+    key = str(name).strip().lower()
+    if key.endswith("(n)"):
+        key = key[:-3]
+    key = key.replace("_", "")
+    return _RING_VAR_CANONICAL.get(key, str(name))
+
 
 def _frame_adjacency(frame, cutoff_dict):
     """Edge-resolved adjacency + per-edge image shifts (periodic).
@@ -270,3 +296,12 @@ class Ring:
     def read_ring_file(self, filename):
         filename = ampath.append_suffix(filename, "ring")
         self.data = labeled.open_dataset(filename)
+        # files written by the reference carry the literal RINGS header
+        # spellings in the ring_var coordinate (amof/ring/core.py:
+        # 170-175); normalize them so .sel(ring_var=...) code written
+        # against either implementation works on both outputs
+        for da in self.data.data_vars.values():
+            if "ring_var" in da.coords:
+                da.coords["ring_var"] = np.array(
+                    [normalize_ring_var(v) for v in da.coords["ring_var"]]
+                )

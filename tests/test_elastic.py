@@ -165,3 +165,83 @@ class TestMechanicalProperties:
         out = capsys.readouterr().out
         assert "Stiffness matrix C (GPa):" in out
         assert "eigenvalues" in out
+
+
+class TestElateDirectionalGoldens:
+    """Directional moduli pinned against the reference's vendored ELATE
+    fork (amof/elastic/elate.py:655-748), goldens generated by running
+    that exact code on these matrices (VERDICT r1 next #9)."""
+
+    C_MONO = [[9.2, 4.9, 4.1, 0.0, 0.4, 0.0],
+              [4.9, 10.7, 3.9, 0.0, -0.8, 0.0],
+              [4.1, 3.9, 8.1, 0.0, 0.3, 0.0],
+              [0.0, 0.0, 0.0, 2.1, 0.0, 0.2],
+              [0.4, -0.8, 0.3, 0.0, 3.0, 0.0],
+              [0.0, 0.0, 0.0, 0.2, 0.0, 2.6]]
+    C_CUBIC = [[166.0, 119.0, 119.0, 0, 0, 0],
+               [119.0, 166.0, 119.0, 0, 0, 0],
+               [119.0, 119.0, 166.0, 0, 0, 0],
+               [0, 0, 0, 79.6, 0, 0],
+               [0, 0, 0, 0, 79.6, 0],
+               [0, 0, 0, 0, 0, 79.6]]
+    DIRS = [(0.3, 0.7), (1.1, 2.0), (np.pi / 2, 0.0)]
+
+    # reference fork outputs on the matrices/directions above
+    GOLD = {
+        "mono": {
+            "averages": [[5.977778, 6.689974, 2.546667, 0.313477],
+                         [5.854573, 6.416135, 2.435249, 0.317347],
+                         [5.916175, 6.553156, 2.490958, 0.315389]],
+            "young": [6.278972, 6.415869, 6.045166],
+            "LC": [73.852591, 50.643343, 52.648265],
+            "shear": [2.251884, 2.450064, 2.773439],
+            "poisson": [0.229597, 0.196647, 0.334599],
+            "shear3D": [2.23669, 2.78232],
+            "poisson3D": [0.0, 0.20392, 0.33236],
+        },
+        "cubic": {
+            "averages": [[134.666667, 150.225345, 57.16, 0.314078],
+                         [134.666667, 110.970497, 40.718328, 0.36266],
+                         [134.666667, 130.954158, 48.939164, 0.337928]],
+            "young": [79.595295, 135.142496, 66.624561],
+            "LC": [2.475248, 2.475248, 2.475248],
+            "shear": [54.434088, 41.430004, 79.6],
+            "poisson": [0.38326, 0.455909, 0.417544],
+            "shear3D": [50.40285, 66.36064],
+            "poisson3D": [0.0, 0.35402, 0.44896],
+        },
+    }
+
+    @pytest.mark.parametrize("name", ["mono", "cubic"])
+    def test_directional_moduli(self, name):
+        from amof_tpu.elastic.elate import Elastic
+
+        C = {"mono": self.C_MONO, "cubic": self.C_CUBIC}[name]
+        gold = self.GOLD[name]
+        e = Elastic(C)
+        np.testing.assert_allclose(e.averages(), gold["averages"],
+                                   rtol=1e-5)
+        for i, x in enumerate(self.DIRS):
+            assert e.Young(x) == pytest.approx(gold["young"][i], rel=1e-5)
+            assert e.LC(x) == pytest.approx(gold["LC"][i], rel=1e-5)
+            assert e.shear([x[0], x[1], 0.5]) == pytest.approx(
+                gold["shear"][i], rel=1e-5)
+            assert e.Poisson([x[0], x[1], 0.5]) == pytest.approx(
+                gold["poisson"][i], rel=1e-5)
+
+    @pytest.mark.parametrize("name", ["mono", "cubic"])
+    def test_optimized_extrema(self, name):
+        """shear3D / poisson3D run scipy optimizers; agree with the
+        reference fork to optimizer tolerance."""
+        from amof_tpu.elastic.elate import Elastic
+
+        C = {"mono": self.C_MONO, "cubic": self.C_CUBIC}[name]
+        gold = self.GOLD[name]
+        e = Elastic(C)
+        s_lo, s_hi = e.shear3D(0.3, 0.7)[:2]
+        assert s_lo == pytest.approx(gold["shear3D"][0], rel=5e-3)
+        assert s_hi == pytest.approx(gold["shear3D"][1], rel=5e-3)
+        p = e.poisson3D(0.3, 0.7)[:3]
+        assert p[0] == pytest.approx(gold["poisson3D"][0], abs=5e-3)
+        assert p[1] == pytest.approx(gold["poisson3D"][1], abs=5e-3)
+        assert p[2] == pytest.approx(gold["poisson3D"][2], abs=5e-3)
