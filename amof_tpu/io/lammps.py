@@ -1,9 +1,12 @@
 """
-LAMMPS file utilities: data-file reader + xyz-dump deduplication.
+LAMMPS file utilities: data-file reader, native dump reader, and
+xyz-dump deduplication.
 
 Behavior parity: amof/files/lammps.py:10-34 (dedup) and
 amof/trajectory.py:62-94 (data-file reading with mass -> element
-inference via nearest standard atomic weight).
+inference via nearest standard atomic weight). The native dump reader
+covers the formats the reference reaches through ASE's any-format
+``Trajectory.from_traj`` (amof/trajectory.py:38-60).
 """
 
 from __future__ import annotations
@@ -16,6 +19,7 @@ import numpy as np
 
 from amof_tpu.core.frames import Frame
 from amof_tpu.data import elements
+from amof_tpu.io.xyz import _open, parse_index
 
 logger = logging.getLogger(__name__)
 
@@ -137,3 +141,124 @@ def read_lammps_data(filename, atom_style: str = "charge") -> Frame:
     ])
     positions -= np.array([xlo, ylo, zlo])
     return Frame(positions, numbers, cell, pbc=True)
+
+
+# Position-column conventions of `dump custom`, in lookup priority
+# (wrapped > scaled > unwrapped > scaled-unwrapped, ASE's order).
+_POS_COLUMN_SETS = (
+    (("x", "y", "z"), False),
+    (("xs", "ys", "zs"), True),
+    (("xu", "yu", "zu"), False),
+    (("xsu", "ysu", "zsu"), True),
+)
+
+
+def _dump_cell_and_origin(bounds_lines, tilted):
+    """Cell matrix + origin from an 'ITEM: BOX BOUNDS' block.
+
+    LAMMPS stores xlo_bound/xhi_bound extended by the tilt factors; the
+    true edges are recovered per the LAMMPS "triclinic boxes" howto.
+    """
+    rows = [np.fromstring(ln, sep=" ") for ln in bounds_lines]
+    xy = xz = yz = 0.0
+    if tilted:
+        xy, xz, yz = rows[0][2], rows[1][2], rows[2][2]
+    xlo = rows[0][0] - min(0.0, xy, xz, xy + xz)
+    xhi = rows[0][1] - max(0.0, xy, xz, xy + xz)
+    ylo = rows[1][0] - min(0.0, yz)
+    yhi = rows[1][1] - max(0.0, yz)
+    zlo, zhi = rows[2][0], rows[2][1]
+    cell = np.array([
+        [xhi - xlo, 0.0, 0.0],
+        [xy, yhi - ylo, 0.0],
+        [xz, yz, zhi - zlo],
+    ])
+    return cell, np.array([xlo, ylo, zlo])
+
+
+def _parse_dump_frame(f, specorder):
+    """Parse one 'ITEM: TIMESTEP'-headed frame; None at EOF."""
+    line = f.readline()
+    while line and not line.startswith("ITEM: TIMESTEP"):
+        line = f.readline()
+    if not line:
+        return None
+    step = int(f.readline().split()[0])
+    line = f.readline()  # ITEM: NUMBER OF ATOMS
+    if not line.startswith("ITEM: NUMBER OF ATOMS"):
+        raise ValueError(f"malformed dump: expected NUMBER OF ATOMS, got {line!r}")
+    n = int(f.readline().split()[0])
+    line = f.readline()
+    if not line.startswith("ITEM: BOX BOUNDS"):
+        raise ValueError(f"malformed dump: expected BOX BOUNDS, got {line!r}")
+    tilted = "xy" in line
+    cell, origin = _dump_cell_and_origin(
+        [f.readline() for _ in range(3)], tilted
+    )
+    line = f.readline()
+    if not line.startswith("ITEM: ATOMS"):
+        raise ValueError(f"malformed dump: expected ATOMS, got {line!r}")
+    cols = line.split()[2:]
+    col_idx = {name: i for i, name in enumerate(cols)}
+    for names, scaled in _POS_COLUMN_SETS:
+        if all(nm in col_idx for nm in names):
+            pos_cols = [col_idx[nm] for nm in names]
+            break
+    else:
+        raise ValueError(f"dump has no position columns among {cols}")
+
+    rows = [f.readline().split() for _ in range(n)]
+    if "id" in col_idx:
+        rows.sort(key=lambda t: int(t[col_idx["id"]]))
+    positions = np.array(
+        [[float(t[c]) for c in pos_cols] for t in rows], dtype=np.float64
+    )
+    if scaled:
+        positions = positions @ cell
+    else:
+        positions -= origin
+
+    if "element" in col_idx:
+        numbers = np.array(
+            [elements.atomic_numbers[t[col_idx["element"]]] for t in rows]
+        )
+    elif "type" in col_idx:
+        types = np.array([int(t[col_idx["type"]]) for t in rows])
+        if specorder is not None:
+            table = [
+                elements.atomic_numbers[s] if isinstance(s, str) else int(s)
+                for s in specorder
+            ]
+            numbers = np.array([table[t - 1] for t in types])
+        else:
+            numbers = types  # reference users attach identity via masses/specorder
+    else:
+        raise ValueError(f"dump has neither 'element' nor 'type' among {cols}")
+    frame = Frame(positions, numbers, cell, pbc=True)
+    frame.step = step
+    return frame
+
+
+def iread_lammps_dump(filename, specorder=None):
+    """Yield Frames from a native LAMMPS text dump (``dump atom`` /
+    ``dump custom``), one at a time. Handles orthogonal and triclinic
+    boxes, wrapped/scaled/unwrapped coordinates, gzip.
+
+    ``specorder`` maps LAMMPS type 1..T to element symbols/numbers;
+    without it and without an ``element`` column, atomic numbers are
+    the raw LAMMPS types (caller's contract to relabel).
+    """
+    with _open(filename) as f:
+        while True:
+            frame = _parse_dump_frame(f, specorder)
+            if frame is None:
+                return
+            yield frame
+
+
+def read_lammps_dump(filename, index=None, specorder=None):
+    """Read frame(s) from a native LAMMPS dump; int index -> Frame,
+    else list of Frames."""
+    idx = parse_index(index)
+    frames = list(iread_lammps_dump(filename, specorder))
+    return frames[idx]

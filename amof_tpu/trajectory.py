@@ -30,14 +30,79 @@ from amof_tpu.io import xyz as _xyz
 logger = logging.getLogger(__name__)
 
 
-def read_traj(filename, index=None, format=None, unzip=False):
-    """Read a trajectory file into a Trajectory (xyz / extxyz only for
-    now; parity for the path the reference actually exercises,
-    amof/trajectory.py:38-60). ``unzip`` is accepted for API
-    compatibility — gzip is always handled transparently."""
-    del format, unzip  # gzip and format detection are automatic
+def _sniff_format(filename) -> str:
+    """Guess the trajectory format from the filename, then content."""
+    name = pathlib.Path(str(filename)).name
+    stem = name[:-3] if name.endswith(".gz") else name
+    suffix = pathlib.Path(stem).suffix.lower()
+    if suffix in (".xyz", ".extxyz"):
+        return "xyz"
+    if suffix in (".lammpstrj", ".dump") or stem.startswith("dump"):
+        return "lammps-dump-text"
+    if suffix == ".cif":
+        return "cif"
+    if suffix == ".data":
+        return "lammps-data"
+    upper = stem.upper()
+    if upper.startswith(("POSCAR", "CONTCAR")):
+        return "vasp"
+    if upper.startswith("XDATCAR"):
+        return "vasp-xdatcar"
+    with _xyz._open(filename) as f:
+        head = [f.readline() for _ in range(2)]
+    first = head[0].strip()
+    if first.startswith("ITEM: TIMESTEP"):
+        return "lammps-dump-text"
+    if first.startswith("data_"):
+        return "cif"
+    try:
+        int(first.split()[0])
+        return "xyz"
+    except (ValueError, IndexError):
+        raise ValueError(
+            f"cannot guess trajectory format of {filename}; pass format="
+        ) from None
+
+
+def read_traj(filename, index=None, format=None, unzip=False, **kwargs):
+    """Read a trajectory file into a Trajectory.
+
+    The general-format equivalent of the reference's ASE-backed
+    ``Trajectory.from_traj`` (amof/trajectory.py:38-60): xyz/extxyz,
+    native LAMMPS dumps (``dump atom``/``dump custom``), VASP
+    POSCAR/CONTCAR/XDATCAR, CIF, and LAMMPS data files, each with
+    ASE-style ``index`` selection. ``unzip`` is accepted for API
+    compatibility — gzip is always handled transparently. Extra kwargs
+    (e.g. ``specorder`` for LAMMPS dumps, ``atom_style`` for data
+    files) pass through to the format reader.
+    """
+    del unzip  # gzip is transparent in every reader
     logger.info("Read trajectory %s", filename)
-    frames = _xyz.read_xyz(filename, index if index is not None else ":")
+    fmt = format or _sniff_format(filename)
+    fmt = {"extxyz": "xyz", "lammps-dump": "lammps-dump-text"}.get(fmt, fmt)
+    index = index if index is not None else ":"
+    if fmt == "xyz":
+        frames = _xyz.read_xyz(filename, index)
+    elif fmt == "lammps-dump-text":
+        frames = _lammps.read_lammps_dump(filename, index, **kwargs)
+    elif fmt == "vasp":
+        from amof_tpu.io import vasp as _vasp
+
+        frames = _vasp.read_poscar(filename)
+    elif fmt == "vasp-xdatcar":
+        from amof_tpu.io import vasp as _vasp
+
+        frames = _vasp.read_xdatcar(filename, index)
+    elif fmt == "cif":
+        from amof_tpu.io.cif import read_cif
+
+        frames = read_cif(filename)
+    elif fmt == "lammps-data":
+        frames = _lammps.read_lammps_data(
+            filename, kwargs.pop("atom_style", "charge")
+        )
+    else:
+        raise ValueError(f"unsupported trajectory format {fmt!r}")
     if isinstance(frames, Frame):
         frames = [frames]
     return Trajectory(frames)
