@@ -523,3 +523,98 @@ def surface_point_classification_windowed(
     return (
         acc.reshape(-1), nacc.reshape(-1), gis, rs[:n], jnp.any(missed)
     )
+
+
+def _voxel_offset_norms(cell, grid):
+    """|cartesian displacement| of every voxel-index offset, wrapped so
+    offset 0 sits at index (0,0,0) — the circular-convolution layout."""
+    gx, gy, gz = grid
+    offs = []
+    for g in (gx, gy, gz):
+        i = jnp.arange(g)
+        offs.append(((i + g // 2) % g - g // 2).astype(jnp.float32) / g)
+    off_frac = jnp.stack(jnp.meshgrid(*offs, indexing="ij"), axis=-1)
+    off_cart = matvec3(off_frac, cell)
+    return jnp.sqrt(jnp.sum(off_cart * off_cart, axis=-1))
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def covering_volume_counts(dist, centers_ok, target, cell, levels, grid):
+    """Covering-sphere (Gelb–Gubbins) pore-volume counts per radius level.
+
+    For each radius ``t`` in ``levels``, counts the ``target`` voxels
+    that lie inside some sphere of radius ``t`` centered at a voxel
+    ``u`` with ``dist[u] >= t`` and ``centers_ok[u]`` — i.e. the volume
+    whose pore radius (radius of the largest included sphere covering
+    the point) is >= t. Differencing consecutive levels yields the
+    pore-size distribution Zeo++'s -psd samples by Monte Carlo
+    (amof/pore/pysimmzeopp.py:76); here the periodic spherical dilation
+    is computed deterministically by FFT circular convolution, which is
+    exact at voxel-center resolution and maps onto the TPU as batched
+    3-D FFTs instead of serial MC.
+
+    Returns i32[len(levels)] counts (monotone non-increasing).
+    """
+    off_norm = _voxel_offset_norms(cell, grid)
+
+    def per_level(t):
+        mask = ((dist >= t) & centers_ok).astype(jnp.float32)
+        kern = (off_norm <= t).astype(jnp.float32)
+        conv = jnp.fft.irfftn(
+            jnp.fft.rfftn(mask) * jnp.fft.rfftn(kern), s=grid
+        )
+        return jnp.sum((conv > 0.5) & target).astype(jnp.int32)
+
+    return jax.lax.map(per_level, jnp.asarray(levels, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "n_steps"))
+def ray_chord_lengths(
+    dist, frac_points, dirs, cell, r_probe, grid, n_steps: int = 96,
+    max_len: float = 50.0,
+):
+    """Chord lengths of rays through the probe-fit void (Zeo++
+    -ray_atom, amof/pore/pysimmzeopp.py:133-134).
+
+    From each start point (fractional, inside the void) a ray is traced
+    along +dir and -dir by sphere marching on the distance field: each
+    step advances by the field value minus the probe radius (a safe
+    step — no atom surface can be closer), until the remaining
+    clearance drops below half a voxel diagonal. The chord is the
+    forward+backward travel; accuracy is grid-resolution bounded. Each
+    direction is capped at ``max_len`` (open channels have unbounded
+    chords; Zeo++'s own histogram tops out at 100 Å).
+
+    Returns f32[M] chord lengths.
+    """
+    gx, gy, gz = grid
+    gvec = jnp.array([gx, gy, gz])
+    inv_cell = jnp.linalg.inv(cell)
+    # conservative lookup slack: half the voxel diagonal
+    voxel_diag = jnp.sqrt(jnp.sum(matvec3(1.0 / gvec[None].astype(
+        jnp.float32), cell) ** 2))
+    slack = 0.5 * voxel_diag
+
+    def lookup(frac_pts):
+        f = frac_pts - jnp.floor(frac_pts)
+        idx = jnp.minimum((f * gvec).astype(jnp.int32), gvec - 1)
+        return dist[idx[..., 0], idx[..., 1], idx[..., 2]]
+
+    start_cart = matvec3(frac_points, cell)
+
+    def march(sign):
+        def body(_, state):
+            s, alive = state
+            p = start_cart + (sign * s)[:, None] * dirs
+            clearance = lookup(matvec3(p, inv_cell)) - r_probe
+            step = jnp.maximum(clearance - slack, 0.0)
+            alive = alive & (clearance > slack) & (s < max_len)
+            s = s + jnp.where(alive, jnp.maximum(step, 0.25 * slack), 0.0)
+            return jnp.minimum(s, max_len), alive
+
+        s0 = jnp.zeros(frac_points.shape[0], jnp.float32)
+        alive0 = jnp.ones(frac_points.shape[0], bool)
+        s, _ = jax.lax.fori_loop(0, n_steps, body, (s0, alive0))
+        return s
+
+    return march(1.0) + march(-1.0)

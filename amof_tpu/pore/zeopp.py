@@ -19,7 +19,16 @@ instead of a Voronoi network (see grid_kernel docstring):
           (2*max d; percolation-threshold bisection; max d over the
           percolating region at threshold)
   -psd -> pore-size histogram = -dAV/dr over probe radius, 1000 bins of
-          0.1 Å (the semantics documented at pysimmzeopp.py:76)
+          0.1 Å (the semantics documented at pysimmzeopp.py:76), PLUS
+          the Gelb–Gubbins covering-sphere PSD (PSD_GG_*) computed by
+          FFT spherical dilation of the distance field
+  -ray_atom -> stochastic ray tracing: chord-length histogram of random
+          rays through the accessible void (RayAtom_*), sphere-marched
+          on the distance field
+  -mass -> per-element mass overrides as a {symbol: amu} dict (affects
+          Density and every *_cm^3/g, *_m^2/g field)
+  extra -> in-process subset: -gridG/-gridBOV (distance grid array),
+          -strinfo (structure summary); other flags raise
   -volpo -> POAV_*: probe-occupiable volume = {d >= 0} voxels within
           r_probe of a probe-center voxel, split by accessibility
   -chan -> number of channels (distinct percolating components) and
@@ -68,7 +77,9 @@ def analyze_frame(
     volpo: bool = False,
     chan: bool = False,
     block: bool = False,
+    ray_atom: bool = False,
     radii: Optional[Dict[str, float]] = None,
+    mass: Optional[Dict[str, float]] = None,
     resolution: float = 0.2,
     grid: Optional[tuple] = None,
     window="auto",
@@ -84,7 +95,12 @@ def analyze_frame(
     the full O(V*N) grid."""
     cell = frame.get_cell().astype(np.float32)
     volume = cellmath.volume(cell)
-    mass_amu = float(np.sum(frame.get_masses()))
+    masses = frame.get_masses().astype(np.float64)
+    if mass:  # per-element overrides (the Zeo++ -mass file option)
+        symbols = np.array(frame.get_chemical_symbols())
+        for sym, m in mass.items():
+            masses[symbols == sym] = float(m)
+    mass_amu = float(np.sum(masses))
     density_g_cm3 = mass_amu * AMU_TO_G / (volume * A3_TO_CM3)
 
     rad_table = elements.vdw_radius_array(overrides=radii)
@@ -95,7 +111,7 @@ def analyze_frame(
     if grid is None:
         grid = _grid_dims(cell, resolution)
     dist = None
-    if window is not None and not res and not psd and not block:
+    if window is not None and not res and not psd and not block and not ray_atom:
         # threshold-only consumers: the clamped sorted-window field is
         # exact below dmax and ~an order of magnitude cheaper
         dmax = float(max(probe_radius, chan_radius)) + 1e-3
@@ -240,6 +256,62 @@ def analyze_frame(
         )
         out["PSD_bin_A"] = edges[:-1]
         out["PSD_dAV_A^3"] = hist * voxel_volume
+        # Gelb–Gubbins covering-sphere PSD — the pore-size definition
+        # Zeo++'s -psd actually samples by MC (largest included sphere
+        # covering each void point; Pinheiro et al. 2013): volume per
+        # pore-DIAMETER bin of 0.1 Å, plus the cumulative curve.
+        d_max = float(np.asarray(dist).max())
+        # round the level count up to a multiple of 16 so NPT frames
+        # with slightly different d_max share one compiled shape
+        n_lev = min(-(-(int(np.ceil(d_max / 0.05)) + 1) // 16) * 16, 1001)
+        levels = 0.05 * np.arange(n_lev)
+        counts = np.asarray(grid_kernel.covering_volume_counts(
+            dist, accessible, acc_fit, jnp.asarray(cell),
+            levels.astype(np.float32), grid,
+        ))
+        vols = np.zeros(1001)
+        vols[:n_lev] = counts * voxel_volume
+        out["PSD_GG_bin_A"] = 0.1 * np.arange(1000)
+        out["PSD_GG_dV_A^3"] = vols[:-1] - vols[1:]
+        out["PSD_GG_cum_A^3"] = vols[:-1]
+
+    if ray_atom:
+        # -ray_atom stochastic ray tracing (pysimmzeopp.py:133-134):
+        # chords of random rays through the accessible void, traced from
+        # uniform points in the probe-accessible region to the atom
+        # surfaces in both directions; histogrammed like -psd. Zeo++'s
+        # MC is replaced by seeded sphere-marching on the distance
+        # field (converged-value contract, SURVEY.md §7 hard parts).
+        rng = np.random.default_rng(12345)
+        acc_np = np.asarray(acc_fit)
+        gvec = np.array(grid)
+        n_rays = int(num_samples)
+        pts = np.zeros((0, 3), np.float32)
+        acc_frac = float(acc_np.mean())
+        for _ in range(64 if acc_frac > 0 else 0):
+            if len(pts) >= n_rays:
+                break
+            draw = min(int((n_rays - len(pts)) / acc_frac * 1.2) + 64,
+                       4_000_000)
+            cand = rng.random((draw, 3)).astype(np.float32)
+            idx = np.minimum((cand * gvec).astype(int), gvec - 1)
+            keep = acc_np[idx[:, 0], idx[:, 1], idx[:, 2]]
+            pts = np.concatenate([pts, cand[keep]])
+        pts = pts[:n_rays]
+        if len(pts):
+            dirs = rng.normal(size=(len(pts), 3)).astype(np.float32)
+            dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+            chords = np.asarray(grid_kernel.ray_chord_lengths(
+                dist, jnp.asarray(pts), jnp.asarray(dirs),
+                jnp.asarray(cell), 0.0, grid,
+            ))
+        else:
+            chords = np.zeros(0, np.float32)
+        hist_r, edges_r = np.histogram(chords, bins=np.arange(0, 100.1, 0.1))
+        out["RayAtom_bin_A"] = edges_r[:-1]
+        out["RayAtom_hist"] = hist_r.astype(np.float64)
+        out["RayAtom_mean_A"] = float(chords.mean()) if len(chords) else 0.0
+        out["RayAtom_samples"] = float(len(chords))
 
     if volpo:
         # probe-occupiable volume: every void voxel within probe_radius
@@ -322,13 +394,64 @@ def network(frame_or_file, **kwargs) -> Dict[str, float]:
     # translate pysimm kwarg names
     kwargs.pop("ha", None)  # grid resolution already 'high accuracy'
     kwargs.pop("atype_name", None)
-    for unsupported in ("ray_atom", "extra", "mass"):
-        if kwargs.pop(unsupported, None):
-            raise NotImplementedError(
-                f"Zeo++ option {unsupported!r} is not implemented yet"
+    extra = kwargs.pop("extra", None)
+    for opt in ("radii", "mass"):
+        if opt in kwargs and isinstance(kwargs[opt], str):
+            raise ValueError(
+                f"{opt} files are not supported; pass a "
+                f"{{symbol: value}} dict"
             )
-    if "radii" in kwargs and isinstance(kwargs["radii"], str):
-        raise ValueError(
-            "radii files are not supported; pass a {symbol: radius} dict"
-        )
-    return analyze_frame(frame, **kwargs)
+    result = analyze_frame(frame, **kwargs)
+    if extra:
+        result.update(_run_extra_options(frame, extra, kwargs))
+    return result
+
+
+def _run_extra_options(frame, extra: str, kwargs) -> Dict[str, float]:
+    """Subset of the free-form ``extra`` CLI passthrough
+    (amof/pore/pysimmzeopp.py:77,136-137). Supported: -gridG / -gridBOV
+    (the distance grid the binary would write as a Gaussian-cube / BOV
+    file — returned in-process as an array), -strinfo (structure
+    summary). Anything else raises NotImplementedError naming the flag.
+    """
+    out: Dict[str, float] = {}
+    tokens = extra.split()
+    i = 0
+    while i < len(tokens):
+        flag = tokens[i]
+        if flag in ("-gridG", "-gridBOV"):
+            cell = frame.get_cell().astype(np.float32)
+            grid = kwargs.get("grid") or _grid_dims(
+                cell, kwargs.get("resolution", 0.2)
+            )
+            rad_table = elements.vdw_radius_array(
+                overrides=kwargs.get("radii")
+            )
+            atom_radii = rad_table[frame.get_atomic_numbers()].astype(
+                np.float32
+            )
+            frac = cellmath.cart_to_frac(
+                frame.get_positions(), cell
+            ).astype(np.float32)
+            frac = frac - np.floor(frac)
+            out["Distance_grid"] = np.asarray(
+                grid_kernel.distance_grid(frac, cell, atom_radii, grid)
+            )
+            out["Distance_grid_shape"] = np.array(grid, dtype=np.float64)
+            i += 1
+        elif flag == "-strinfo":
+            syms, counts = np.unique(
+                frame.get_chemical_symbols(), return_counts=True
+            )
+            out["Formula"] = "".join(
+                f"{s}{c}" for s, c in zip(syms, counts)
+            )
+            out["Number_of_atoms"] = float(len(frame))
+            out["Unitcell_volume"] = cellmath.volume(frame.get_cell())
+            i += 1
+        else:
+            raise NotImplementedError(
+                f"extra Zeo++ option {flag!r} is not supported "
+                f"(supported: -gridG, -gridBOV, -strinfo)"
+            )
+    return out

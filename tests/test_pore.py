@@ -377,3 +377,124 @@ class TestBatchedPore:
         new = np.asarray(grid_kernel.propagate_channel(
             grid_kernel.winding_seeds(open_labels, m), m))
         assert np.array_equal(old, new)
+
+
+class TestCoveringPsd:
+    def test_matches_brute_force(self):
+        """FFT spherical dilation == O(V^2) brute force on a small grid."""
+        box = 8.0
+        cell = (np.eye(3) * box).astype(np.float32)
+        frac = np.array([[0.25, 0.25, 0.25], [0.7, 0.6, 0.5]], np.float32)
+        radii = np.array([1.5, 2.0], np.float32)
+        grid = (16, 16, 16)
+        dist = np.asarray(grid_kernel.distance_grid(frac, cell, radii, grid))
+        _, accessible, _ = grid_kernel.void_classification(dist, 1.0)
+        acc_fit = np.asarray(accessible)
+        levels = np.arange(0, 2.01, 0.25, dtype=np.float32)
+
+        counts = np.asarray(grid_kernel.covering_volume_counts(
+            dist, accessible, accessible, cell, levels, grid
+        ))
+
+        # brute force: v covered at t iff exists u with dist[u]>=t,
+        # acc[u], |v-u|_wrapped-voxel-metric <= t
+        idx = np.indices(grid).reshape(3, -1).T
+        off = idx[:, None, :] - idx[None, :, :]
+        g = np.array(grid)
+        off = (off + g // 2) % g - g // 2
+        dcart = np.linalg.norm((off / g) @ cell, axis=-1)
+        dflat = dist.reshape(-1)
+        aflat = acc_fit.reshape(-1)
+        for t, c in zip(levels, counts):
+            centers = (dflat >= t) & aflat
+            covered = (dcart[:, centers] <= t).any(axis=1) & aflat
+            assert c == covered.sum(), f"level {t}"
+
+    def test_cumulative_starts_at_av(self, zif4_frame):
+        out = zeopp.analyze_frame(
+            zif4_frame, vol=True, psd=True, resolution=0.45
+        )
+        assert out["PSD_GG_cum_A^3"][0] == pytest.approx(out["AV_A^3"], rel=1e-6)
+        # monotone non-increasing cumulative (continuum nesting holds on
+        # the grid up to voxelization; allow one-voxel slack)
+        cum = out["PSD_GG_cum_A^3"]
+        voxel = out["Unitcell_volume"] / np.prod(
+            zeopp._grid_dims(zif4_frame.cell, 0.45)
+        )
+        assert (np.diff(cum) <= 2 * voxel + 1e-9).all()
+        # every accessible voxel fits the probe => pore diameter >= 2.4
+        assert cum[int(2.4 / 0.1) - 1] == pytest.approx(out["AV_A^3"], rel=0.05)
+        assert out["PSD_GG_dV_A^3"].sum() == pytest.approx(out["AV_A^3"], rel=1e-5)
+
+
+class TestRayTracing:
+    def test_known_chord_single_atom(self):
+        """Crafted axial ray in a simple-cubic lattice: chord = L - 2R."""
+        box, R = 6.0, 1.5
+        cell = (np.eye(3) * box).astype(np.float32)
+        frac = np.array([[0.5, 0.5, 0.5]], np.float32)
+        grid = (48, 48, 48)
+        dist = grid_kernel.distance_grid(
+            frac, cell, np.array([R], np.float32), grid
+        )
+        pts = np.array([[5.0 / 6.0, 0.5, 0.5]], np.float32)  # (5,3,3)
+        dirs = np.array([[1.0, 0.0, 0.0]], np.float32)
+        chord = float(np.asarray(grid_kernel.ray_chord_lengths(
+            dist, pts, dirs, cell, 0.0, grid
+        ))[0])
+        assert chord == pytest.approx(box - 2 * R, abs=0.3)
+
+    def test_analyze_frame_ray_atom(self):
+        f = single_atom_frame(box=10.0)
+        out = zeopp.analyze_frame(
+            f, ray_atom=True, num_samples=500, resolution=0.4
+        )
+        assert out["RayAtom_samples"] == 500
+        assert out["RayAtom_hist"].sum() == 500
+        assert 0 < out["RayAtom_mean_A"] <= 100.0
+        assert len(out["RayAtom_bin_A"]) == 1000
+
+    def test_dense_box_no_rays(self):
+        """No accessible void -> zero samples, zero mean."""
+        f = Frame(
+            [[x, y, z] for x in (1.0, 3.0) for y in (1.0, 3.0)
+             for z in (1.0, 3.0)],
+            [30] * 8, np.eye(3) * 4.0,
+        )
+        out = zeopp.analyze_frame(f, ray_atom=True, num_samples=100,
+                                  resolution=0.4)
+        assert out["RayAtom_samples"] == 0
+        assert out["RayAtom_mean_A"] == 0.0
+
+
+class TestMassAndExtra:
+    def test_mass_override_scales_gravimetric(self):
+        f = single_atom_frame(box=10.0, z=18)  # Ar, mass 39.948
+        base = zeopp.analyze_frame(f, vol=True, resolution=0.4)
+        heavy = zeopp.analyze_frame(
+            f, vol=True, resolution=0.4, mass={"Ar": 2 * 39.948}
+        )
+        assert heavy["AV_A^3"] == pytest.approx(base["AV_A^3"])
+        assert heavy["AV_cm^3/g"] == pytest.approx(base["AV_cm^3/g"] / 2,
+                                                   rel=1e-5)
+        assert heavy["Density"] == pytest.approx(2 * base["Density"], rel=1e-5)
+
+    def test_extra_strinfo_and_grid(self):
+        f = single_atom_frame(box=10.0)
+        out = zeopp.network(f, vol=True, resolution=0.5,
+                            extra="-strinfo -gridG")
+        assert out["Formula"] == "Ar1"
+        assert out["Number_of_atoms"] == 1.0
+        assert out["Distance_grid"].shape == tuple(
+            int(v) for v in out["Distance_grid_shape"]
+        )
+
+    def test_extra_unknown_flag_raises(self):
+        f = single_atom_frame()
+        with pytest.raises(NotImplementedError, match="-oms"):
+            zeopp.network(f, vol=True, extra="-oms")
+
+    def test_mass_file_string_rejected(self):
+        f = single_atom_frame()
+        with pytest.raises(ValueError, match="mass files"):
+            zeopp.network(f, vol=True, mass="mass.mass")
