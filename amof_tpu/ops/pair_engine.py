@@ -323,15 +323,17 @@ def trajectory_rdf_counts(
     if frame_weights is None:
         frame_weights = jnp.ones(positions.shape[0], jnp.float32)
 
-    def one(pos, cell, w):
+    def one(args):
+        pos, cell, w = args
         return w * frame_rdf_counts(
             pos, cell, species_idx, dr, n_species, bins, chunk, method
         )
 
-    counts = jax.lax.map(
-        lambda args: one(*args), (positions, cells, frame_weights)
-    )
-    return jnp.sum(counts, axis=0)
+    # compensated frame accumulation: weighted bin sums reach 1e13+ at
+    # 10k frames, past plain-f32 exactness (see ops/accum.py)
+    from amof_tpu.ops import accum
+
+    return accum.scan_sum(one, (positions, cells, frame_weights))
 
 
 # --------------------------------------------------------------------------

@@ -38,7 +38,7 @@ except ImportError:  # older jax
 from amof_tpu.cn import _cutoff_matrix_for_species
 from amof_tpu.core.frames import as_frame_batch
 from amof_tpu.data import elements
-from amof_tpu.ops import bad_kernel, msd_kernel, pair_engine
+from amof_tpu.ops import accum, bad_kernel, msd_kernel, pair_engine
 from amof_tpu.parallel.mesh import analysis_mesh
 from amof_tpu.rdf import _species_table
 
@@ -110,15 +110,39 @@ def _make_step(
                 overflow = jnp.zeros((), bool)
             return rdf, cn, bad_c, bad_a, overflow
 
-        rdf, cn, bad_c, bad_a, overflow = jax.lax.map(
-            per_frame, (pos_atoms_full, cells, volumes)
+        # compensated frame accumulation (ops/accum.py): weighted RDF
+        # sums and BAD bin counts exceed plain-f32 exactness at 10k
+        # frames; Neumaier carries keep them ~2^48-exact at f32 speed
+        # and avoid materializing the per-frame histogram stack
+        frame0 = (pos_atoms_full[0], cells[0], volumes[0])
+        rdf_sh, cn_sh, badc_sh, bada_sh, _ = jax.eval_shape(per_frame, frame0)
+
+        def body(carry, args):
+            rdf_c, badc_c, bada_c, ovf = carry
+            rdf, cn, bad_c, bad_a, overflow = per_frame(args)
+            carry = (
+                accum.neumaier_add(rdf_c, rdf),
+                accum.neumaier_add(badc_c, bad_c),
+                accum.neumaier_add(bada_c, bad_a),
+                ovf | jnp.any(overflow),
+            )
+            return carry, cn
+
+        init = (
+            accum.neumaier_init(rdf_sh),
+            accum.neumaier_init(badc_sh),
+            accum.neumaier_init(bada_sh),
+            jnp.zeros((), bool),
         )
-        rdf = jax.lax.psum(jnp.sum(rdf, axis=0), ("frames", "atoms"))
+        (rdf_c, badc_c, bada_c, ovf), cn = jax.lax.scan(
+            body, init, (pos_atoms_full, cells, volumes)
+        )
+        rdf = jax.lax.psum(accum.neumaier_total(rdf_c), ("frames", "atoms"))
         cn = jax.lax.psum(cn, "atoms")  # per-frame, stays frame-sharded
-        bad_c = jax.lax.psum(jnp.sum(bad_c, axis=0), ("frames", "atoms"))
-        bad_a = jax.lax.psum(jnp.sum(bad_a, axis=0), ("frames", "atoms"))
+        bad_c = jax.lax.psum(accum.neumaier_total(badc_c), ("frames", "atoms"))
+        bad_a = jax.lax.psum(accum.neumaier_total(bada_c), ("frames", "atoms"))
         overflow = jax.lax.pmax(
-            jnp.any(overflow).astype(jnp.int32), ("frames", "atoms")
+            ovf.astype(jnp.int32), ("frames", "atoms")
         )
 
         out = {
