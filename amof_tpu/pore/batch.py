@@ -131,6 +131,7 @@ class BatchedPore:
         resolution: float = 0.2,
         grid: Optional[tuple] = None,
         window="auto",
+        frames_per_call: int = 8,
     ):
         self.probe_radius = float(probe_radius)
         self.chan_radius = float(chan_radius)
@@ -139,6 +140,12 @@ class BatchedPore:
         self.resolution = float(resolution)
         self.grid = grid
         self.window = window
+        # one device dispatch covers at most this many frames: a single
+        # call over a long trajectory can run for minutes, which trips
+        # remote-backend watchdogs (observed as a TPU worker crash at
+        # 128 frames x 220^3 voxels); chunking costs one dispatch per
+        # group and nothing else
+        self.frames_per_call = int(frames_per_call)
 
     def prepare(self, batch, mesh=None):
         """Resolve static shapes; returns (step_fn, args, meta)."""
@@ -161,9 +168,12 @@ class BatchedPore:
 
         # static grid dims: conservative per-axis max over NPT frames
         if self.grid is None:
-            lengths = np.linalg.norm(cells, axis=2).max(axis=0)
-            grid = tuple(
-                int(max(8, np.ceil(l / self.resolution))) for l in lengths
+            from amof_tpu.pore.zeopp import _grid_dims
+
+            grid = _grid_dims(
+                np.linalg.norm(cells, axis=2).max(axis=0)[:, None]
+                * np.eye(3),
+                self.resolution,
             )
         else:
             grid = tuple(self.grid)
@@ -217,6 +227,31 @@ class BatchedPore:
                 check_vma=False,
             )
         )
+
+        # frames per dispatch: a multiple of the mesh frames axis that
+        # divides the frame count (one compiled shape), capped near
+        # frames_per_call * frames_axis
+        n_frames = batch.num_frames
+        f_ax = mesh.shape["frames"]
+        target = max(self.frames_per_call, 1) * f_ax
+        fpc = f_ax
+        for d in range(min(target, n_frames), f_ax - 1, -f_ax):
+            if n_frames % d == 0:
+                fpc = d
+                break
+
+        def chunked_step(positions, cells_f, volumes_f):
+            outs = [
+                step_fn(
+                    positions[i:i + fpc], cells_f[i:i + fpc],
+                    volumes_f[i:i + fpc],
+                )
+                for i in range(0, n_frames, fpc)
+            ]
+            return tuple(
+                jnp.concatenate([o[j] for o in outs]) for j in range(5)
+            )
+
         args = (
             np.asarray(batch.positions, np.float32),
             np.asarray(batch.cell, np.float32),
@@ -225,9 +260,9 @@ class BatchedPore:
         meta = {
             "grid": grid, "mesh": mesh, "mass_amu": mass_amu,
             "volumes": volumes, "dist_window": dist_window,
-            "surf_window": surf_window, "k": k,
+            "surf_window": surf_window, "k": k, "frames_per_call": fpc,
         }
-        return step_fn, args, meta
+        return chunked_step, args, meta
 
     def run(self, batch, mesh=None):
         """Returns (records, meta): one dict of Zeo++ -sa/-vol output

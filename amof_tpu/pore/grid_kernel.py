@@ -26,10 +26,13 @@ steps (8 sweeps per convergence check).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from amof_tpu.ops.pair_engine import matvec3
 
@@ -200,20 +203,7 @@ def label_components(mask, periodic: bool = True, sweeps: int = 8):
     init = jnp.where(
         mask, jnp.arange(gx * gy * gz, dtype=jnp.int32).reshape(mask.shape), -1
     )
-
-    def cond(state):
-        labels, changed = state
-        return changed
-
-    def body(state):
-        labels, _ = state
-        new = labels
-        for _ in range(sweeps):
-            new = _neighbor_max(new, mask, periodic)
-        return new, jnp.any(new != labels)
-
-    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True)))
-    return labels
+    return _propagate_fixpoint(init, periodic, sweeps)
 
 
 @jax.jit
@@ -241,20 +231,7 @@ def propagate_channel(channel_seed, mask, sweeps: int = 8):
     """Extend channel membership through periodic connectivity so every
     voxel periodically connected to a winding component is accessible."""
     seed = jnp.where(channel_seed, 1, jnp.where(mask, 0, -1)).astype(jnp.int32)
-
-    def cond(state):
-        labels, changed = state
-        return changed
-
-    def body(state):
-        labels, _ = state
-        new = labels
-        for _ in range(sweeps):
-            new = _neighbor_max(new, mask, True)
-        return new, jnp.any(new != labels)
-
-    labels, _ = jax.lax.while_loop(cond, body, (seed, jnp.array(True)))
-    return labels == 1
+    return _propagate_fixpoint(seed, True, sweeps) == 1
 
 
 @jax.jit
@@ -618,3 +595,142 @@ def ray_chord_lengths(
         return s
 
     return march(1.0) + march(-1.0)
+
+
+# --------------------------------------------------------------------------
+# Mosaic flood-fill sweeps: k max-propagation sweeps per HBM pass
+# --------------------------------------------------------------------------
+
+def _sweep_tile_kernel(lab_prev, lab_mid, lab_next, out_ref, chg_ref, *,
+                       tx, gy, gz, periodic, n_sweeps):
+    """One x-slab of ``n_sweeps`` 6-neighbor max-propagation sweeps.
+
+    Wall voxels are encoded as -1 labels, so the void mask is simply
+    ``labels >= 0`` — no separate mask array, which halves HBM traffic.
+    The slab loads its +/-x neighbors as halo (index maps wrap, giving
+    periodic x for free); in-tile y/z rolls span the full axes, so y/z
+    wraps are exact. Local sweeps treat the tile's x edges as walls:
+    that only UNDER-estimates propagation (monotone-from-below), which
+    the outer fixpoint loop completes — never an overestimate.
+    """
+    i = pl.program_id(0)
+    n_b = pl.num_programs(0)
+
+    L = jnp.concatenate([lab_prev[:], lab_mid[:], lab_next[:]], axis=0)
+    if not periodic:
+        # open boundaries: the wrapped halo slabs are not neighbors
+        row = jax.lax.broadcasted_iota(jnp.int32, (3 * tx, gy, gz), 0)
+        L = jnp.where((i == 0) & (row < tx), -1, L)
+        L = jnp.where((i == n_b - 1) & (row >= 2 * tx), -1, L)
+    mask = L >= 0
+
+    minus = jnp.full((1, gy, gz), -1, L.dtype)
+
+    def sweep(_, L):
+        up = jnp.concatenate([minus, L[:-1]], axis=0)
+        dn = jnp.concatenate([L[1:], minus], axis=0)
+        out = jnp.maximum(L, jnp.maximum(up, dn))
+        for axis, g in ((1, gy), (2, gz)):
+            # pltpu.roll needs non-negative shifts: g-1 == roll by -1
+            for shift, edge in ((1, 0), (g - 1, g - 1)):
+                r = pltpu.roll(L, shift, axis)
+                if not periodic:
+                    eidx = jax.lax.broadcasted_iota(
+                        jnp.int32, (3 * tx, gy, gz), axis
+                    )
+                    r = jnp.where(eidx == edge, -1, r)
+                out = jnp.maximum(out, r)
+        return jnp.where(mask, out, -1)
+
+    L = jax.lax.fori_loop(0, n_sweeps, sweep, L)
+    mid_new = L[tx:2 * tx]
+
+    @pl.when(i == 0)
+    def _():
+        chg_ref[0, 0] = 0
+
+    chg_ref[0, 0] |= jnp.any(mid_new != lab_mid[:]).astype(jnp.int32)
+    out_ref[:] = mid_new
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tx", "periodic", "interpret")
+)
+def _pallas_sweep_round(labels, tx: int, periodic: bool,
+                        interpret: bool = False):
+    """(new_labels, changed): ``tx`` fused sweeps over the whole grid."""
+    gx, gy, gz = labels.shape
+    n_b = gx // tx
+    spec = lambda off: pl.BlockSpec(
+        (tx, gy, gz), lambda i: ((i + off) % n_b, 0, 0)
+    )
+    out, chg = pl.pallas_call(
+        functools.partial(
+            _sweep_tile_kernel, tx=tx, gy=gy, gz=gz, periodic=periodic,
+            n_sweeps=tx,
+        ),
+        grid=(n_b,),
+        in_specs=[spec(-1), spec(0), spec(1)],
+        out_specs=(
+            pl.BlockSpec((tx, gy, gz), lambda i: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(labels.shape, labels.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(labels, labels, labels)
+    return out, chg[0, 0] > 0
+
+
+def _pallas_sweep_tx(grid_shape):
+    """Largest slab thickness in (8, 4, 2) dividing the x dim, or None
+    when the pallas sweep path is not worthwhile/possible."""
+    gx = grid_shape[0]
+    for tx in (8, 4, 2):
+        if gx % tx == 0 and gx // tx >= 2:
+            return tx
+    return None
+
+
+def _propagate_fixpoint(init, periodic: bool, sweeps: int,
+                        use_pallas: Optional[bool] = None):
+    """Run masked max-propagation to fixpoint (labels carry walls as -1).
+
+    On TPU, slabs of sweeps run as a Mosaic kernel (one HBM pass per
+    ``tx`` sweeps, ~12x less traffic than materialized rolls); other
+    backends (and awkward grid dims) use the XLA roll path.
+    """
+    mask = init >= 0
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    tx = _pallas_sweep_tx(init.shape)
+    if use_pallas and tx is not None:
+
+        def cond(state):
+            return state[1]
+
+        def body(state):
+            labels, _ = state
+            return _pallas_sweep_round(labels, tx, periodic)
+
+        labels, _ = jax.lax.while_loop(
+            cond, body, (init, jnp.array(True))
+        )
+        return labels
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        labels, _ = state
+        new = labels
+        for _ in range(sweeps):
+            new = _neighbor_max(new, mask, periodic)
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True)))
+    return labels

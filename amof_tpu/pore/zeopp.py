@@ -61,8 +61,13 @@ A3_TO_CM3 = 1.0e-24
 
 
 def _grid_dims(cell, resolution):
+    # rounded up to multiples of 4 (slightly finer than requested) so
+    # the Mosaic flood-fill sweep kernel can slab the x axis evenly
     lengths = np.linalg.norm(np.asarray(cell, dtype=np.float64), axis=1)
-    return tuple(int(max(8, np.ceil(l / resolution))) for l in lengths)
+    return tuple(
+        int(-(-max(8, int(np.ceil(l / resolution))) // 4) * 4)
+        for l in lengths
+    )
 
 
 def analyze_frame(

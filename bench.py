@@ -65,9 +65,11 @@ def main():
     parser.add_argument("--no-pore", action="store_true")
     parser.add_argument("--pore-resolution", type=float, default=0.25,
                         help="pore voxel grid resolution in Angstrom")
-    parser.add_argument("--pore-frames", type=int, default=None,
+    parser.add_argument("--pore-frames", type=int, default=32,
                         help="time pore on this many frames and scale "
-                             "to the full count (default: all frames)")
+                             "to the full count (0 = all frames); the "
+                             "per-frame cost is frame-independent, so "
+                             "the scaling is exact up to noise")
     parser.add_argument("--max-neighbors", type=int, default=8,
                         help="initial BAD neighbor capacity; doubled "
                              "automatically while the overflow flag fires")
@@ -144,7 +146,7 @@ def main():
     if not args.no_pore:
         from amof_tpu.pore.batch import BatchedPore
 
-        n_pore = args.pore_frames or args.frames
+        n_pore = min(args.pore_frames or args.frames, args.frames)
         pore_batch = batch if n_pore == args.frames else batch._replace(
             positions=batch.positions[:n_pore], cell=batch.cell[:n_pore],
             step=batch.step[:n_pore],

@@ -498,3 +498,51 @@ class TestMassAndExtra:
         f = single_atom_frame()
         with pytest.raises(ValueError, match="mass files"):
             zeopp.network(f, vol=True, mass="mass.mass")
+
+
+class TestPallasSweeps:
+    """Mosaic flood-fill sweep kernel == XLA roll path (interpret mode)."""
+
+    def _random_mask(self, seed, shape=(16, 12, 20), frac=0.35):
+        rng = np.random.default_rng(seed)
+        return rng.random(shape) < frac
+
+    @pytest.mark.parametrize("periodic", [True, False])
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_fixpoint_equivalence(self, periodic, seed):
+        import jax.numpy as jnp
+
+        mask = self._random_mask(seed)
+        init = np.where(
+            mask, np.arange(mask.size, dtype=np.int32).reshape(mask.shape),
+            -1,
+        )
+        # XLA reference fixpoint
+        ref = np.asarray(grid_kernel._propagate_fixpoint(
+            jnp.asarray(init), periodic, 8, use_pallas=False
+        ))
+        # pallas rounds (interpret mode), iterated to fixpoint by hand
+        lab = jnp.asarray(init)
+        for _ in range(200):
+            lab, changed = grid_kernel._pallas_sweep_round(
+                lab, 4, periodic, interpret=True
+            )
+            if not bool(np.asarray(changed)):
+                break
+        np.testing.assert_array_equal(np.asarray(lab), ref)
+
+    def test_changed_flag_false_at_fixpoint(self):
+        import jax.numpy as jnp
+
+        mask = self._random_mask(3)
+        init = np.where(
+            mask, np.arange(mask.size, dtype=np.int32).reshape(mask.shape),
+            -1,
+        )
+        ref = grid_kernel._propagate_fixpoint(
+            jnp.asarray(init), True, 8, use_pallas=False
+        )
+        _, changed = grid_kernel._pallas_sweep_round(
+            ref, 4, True, interpret=True
+        )
+        assert not bool(np.asarray(changed))
