@@ -37,10 +37,38 @@ from amof_tpu.ops.pair_engine import (
     min_image_delta,
 )
 
-# largest CN-resolved key space routed to the MXU histogram; ~5k hi-rows
-# keep the blocked one-hot under ~80 MB (the 13-species plain-BAD case,
-# 608k slots, is measured fine on v5e)
+# largest key space one MXU histogram pass handles; ~5k hi-rows keep the
+# blocked one-hot under ~80 MB (the 13-species plain-BAD case, 608k
+# slots, is measured fine on v5e). Larger key spaces are SEGMENTED into
+# passes of at most this size — never scattered (scatter-add serializes
+# on TPU, the exact failure mode CLAUDE.md warns about).
 MXU_BY_CN_SLOT_LIMIT = 640_000
+
+
+def _segmented_mxu_histogram(key, weight, total: int,
+                             seg_limit: int = MXU_BY_CN_SLOT_LIMIT):
+    """MXU one-hot histogram over an arbitrarily large key space.
+
+    Splits the key range into segments of <= ``seg_limit`` slots and
+    runs one masked `_mxu_histogram` pass per segment: the total MXU
+    work is unchanged (each key lands in exactly one segment) and only
+    the VPU mask/compare work repeats per segment, while the one-hot
+    working set stays bounded. ``key == total`` stays a valid overflow
+    sentinel (weight must be 0 there, as in `_mxu_histogram`).
+    """
+    if total <= seg_limit:
+        return _mxu_histogram(key, weight, total)
+    n_seg = -(-total // seg_limit)
+    seg = -(-total // n_seg)
+    parts = []
+    for q in range(n_seg):
+        k_local = key - q * seg
+        in_seg = (k_local >= 0) & (k_local < seg)
+        k_local = jnp.where(in_seg, k_local, seg)
+        parts.append(
+            _mxu_histogram(k_local, weight * in_seg, seg)
+        )
+    return jnp.concatenate(parts)[:total]
 
 
 @functools.partial(
@@ -101,13 +129,6 @@ def frame_bad_counts(
     if window is not None and chunk + 2 * window >= n:
         window = None
     k_cap = max_neighbors
-    # the CN-resolved key space usually still fits the MXU histogram
-    # (hi-rows scale with slots/128); scatter only beyond this, where the
-    # blocked one-hot working set would spill (scatter-add serializes on
-    # TPU, so it is strictly a fallback)
-    use_scatter = by_cn and (
-        n_species * n_species * (k_cap + 1) * bins > MXU_BY_CN_SLOT_LIMIT
-    )
     if window is None:
         assert not emit_cn, "emit_cn requires the sorted-window table"
         nbr_pos, nbr_sp, nbr_cnt, overflow = frame_neighbor_payload_table(
@@ -192,27 +213,19 @@ def frame_bad_counts(
         key_a = (a_sp * cn_slots + cn_all) * bins + tbin
         key_a = jnp.where(pair_valid, key_a, any_total)
 
-        if use_scatter:
-            conc_acc = conc_acc.at[key_c.reshape(-1)].add(
-                same.reshape(-1).astype(jnp.float32), mode="drop"
-            )
-            any_acc = any_acc.at[key_a.reshape(-1)].add(
-                pair_valid.reshape(-1).astype(jnp.float32), mode="drop"
-            )
-        else:
-            conc_acc = conc_acc + _mxu_histogram(
-                key_c, same.astype(jnp.float32), conc_total
-            )
-            any_acc = any_acc + _mxu_histogram(
-                key_a, pair_valid.astype(jnp.float32), any_total
-            )
+        conc_acc = conc_acc + _segmented_mxu_histogram(
+            key_c, same.astype(jnp.float32), conc_total
+        )
+        any_acc = any_acc + _segmented_mxu_histogram(
+            key_a, pair_valid.astype(jnp.float32), any_total
+        )
         return conc_acc, any_acc
 
     def body(c, acc):
         return chunk_hist(c * chunk, acc)
 
-    acc_shape_c = conc_total + 1 if use_scatter else conc_total
-    acc_shape_a = any_total + 1 if use_scatter else any_total
+    acc_shape_c = conc_total
+    acc_shape_a = any_total
     conc, any_ = jax.lax.fori_loop(
         0, n_i // chunk, body,
         (
