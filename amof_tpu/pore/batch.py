@@ -58,6 +58,8 @@ def _make_frame_fn(
     dist_window: Optional[int],
     dxa: float,
     surf_window: Optional[int],
+    mc_samples=None,  # (pts f32[M,3] x-sorted, lo f32[C], hi f32[C],
+    #                    window int) -> -vol via MC instead of voxels
 ):
     """Per-frame traced function: (pos, cell, volume) ->
     (asa, nasa, av, nav, missed)."""
@@ -89,9 +91,26 @@ def _make_frame_fn(
         else:
             acc_fit, poc_fit = accessible, pocket
 
-        voxel_volume = volume / n_vox
-        av = jnp.sum(acc_fit) * voxel_volume
-        nav = jnp.sum(poc_fit) * voxel_volume
+        if mc_samples is not None:
+            # Zeo++-faithful -vol: probe-fit test EXACTLY at MC sample
+            # points (amof/pore/pysimmzeopp.py:127-128); only the
+            # accessible/pocket split comes from the (possibly coarse)
+            # connectivity grid
+            pts, lo, hi, pwin = mc_samples
+            d_pts, miss_p = grid_kernel.point_distance_windowed(
+                frac, cell, radii, pts, lo, hi,
+                dmax=probe + 1e-3, dxa=dxa, window=pwin,
+            )
+            miss_d = miss_d | miss_p
+            fit_pt = d_pts >= probe
+            acc_pt = grid_kernel.grid_lookup(accessible, pts, grid)
+            m_tot = pts.shape[0]
+            av = volume * jnp.sum(fit_pt & acc_pt) / m_tot
+            nav = volume * jnp.sum(fit_pt & ~acc_pt) / m_tot
+        else:
+            voxel_volume = volume / n_vox
+            av = jnp.sum(acc_fit) * voxel_volume
+            nav = jnp.sum(poc_fit) * voxel_volume
 
         if surf_window is not None:
             a_s, n_s, _, r_sorted, miss_s = (
@@ -132,6 +151,8 @@ class BatchedPore:
         grid: Optional[tuple] = None,
         window="auto",
         frames_per_call: int = 8,
+        vol_method: str = "grid",
+        conn_resolution: Optional[float] = None,
     ):
         self.probe_radius = float(probe_radius)
         self.chan_radius = float(chan_radius)
@@ -140,6 +161,20 @@ class BatchedPore:
         self.resolution = float(resolution)
         self.grid = grid
         self.window = window
+        # vol_method "mc" evaluates -vol at num_samples MC points with
+        # EXACT probe-fit tests (Zeo++'s own estimator,
+        # amof/pore/pysimmzeopp.py:127-128); the grid then only decides
+        # the accessible/pocket split, so it can be coarser
+        # (conn_resolution, default = resolution): accessibility is a
+        # topological question at the 2*probe scale, while "grid" mode
+        # needs the fine grid for the volumes themselves.
+        if vol_method not in ("grid", "mc"):
+            raise ValueError(f"vol_method must be 'grid' or 'mc', got "
+                             f"{vol_method!r}")
+        self.vol_method = vol_method
+        self.conn_resolution = (
+            float(conn_resolution) if conn_resolution else None
+        )
         # one device dispatch covers at most this many frames: a single
         # call over a long trajectory can run for minutes, which trips
         # remote-backend watchdogs (observed as a TPU worker crash at
@@ -167,13 +202,18 @@ class BatchedPore:
         mass_amu = float(np.sum(masses))
 
         # static grid dims: conservative per-axis max over NPT frames
-        if self.grid is None:
-            from amof_tpu.pore.zeopp import _grid_dims
+        from amof_tpu.pore.zeopp import _grid_dims
 
+        if self.grid is None:
+            res = (
+                self.conn_resolution
+                if (self.vol_method == "mc" and self.conn_resolution)
+                else self.resolution
+            )
             grid = _grid_dims(
                 np.linalg.norm(cells, axis=2).max(axis=0)[:, None]
                 * np.eye(3),
-                self.resolution,
+                res,
             )
         else:
             grid = tuple(self.grid)
@@ -208,12 +248,34 @@ class BatchedPore:
             if 32 + 2 * surf_window >= n_at:
                 surf_window = None
 
-        k = max(50, self.num_samples // max(1, n_at))
+        # Zeo++ spreads num_samples MC points across ALL atom spheres
+        # (~5/atom at 10k atoms); 16 deterministic Fibonacci directions
+        # per atom is the accuracy floor here, >= 3x Zeo++'s default
+        k = max(16, self.num_samples // max(1, n_at))
         dirs = grid_kernel.fibonacci_sphere(k)
+
+        mc_samples = None
+        if self.vol_method == "mc":
+            # one seeded sample set serves every frame (frames are
+            # independent estimates; the sampling error is Zeo++'s own
+            # ~sqrt(p(1-p)/num_samples))
+            chunk_pts = 1024
+            m = -(-self.num_samples // chunk_pts) * chunk_pts
+            rng = np.random.default_rng(20240817)
+            pts = rng.random((m, 3)).astype(np.float32)
+            pts = pts[np.argsort(pts[:, 0], kind="stable")]
+            lo = np.ascontiguousarray(pts[::chunk_pts, 0])
+            hi = np.ascontiguousarray(pts[chunk_pts - 1::chunk_pts, 0])
+            span = float((hi - lo).max())
+            pwin_est = 1.3 * n_at * (span + 2 * dxa) + 64
+            pwin = int(-(-pwin_est // 128) * 128)
+            mc_samples = (
+                jnp.asarray(pts), jnp.asarray(lo), jnp.asarray(hi), pwin,
+            )
 
         frame_fn = _make_frame_fn(
             jnp.asarray(radii), jnp.asarray(dirs), grid, probe, chan,
-            dist_window, dxa, surf_window,
+            dist_window, dxa, surf_window, mc_samples=mc_samples,
         )
 
         def step(positions, cells_f, volumes_f):
@@ -289,7 +351,11 @@ class BatchedPore:
                     probe_radius=self.probe_radius,
                     chan_radius=self.chan_radius,
                     num_samples=self.num_samples, radii=self.radii,
-                    resolution=self.resolution, grid=meta["grid"],
+                    resolution=self.resolution,
+                    # grid mode re-runs at the identical grid; mc mode
+                    # falls back to fine-grid integration (both
+                    # converge to the same values)
+                    grid=meta["grid"] if self.vol_method == "grid" else None,
                     window=None,
                 )
                 asa[i], nasa[i] = out["ASA_A^2"], out["NASA_A^2"]

@@ -734,3 +734,92 @@ def _propagate_fixpoint(init, periodic: bool, sweeps: int,
 
     labels, _ = jax.lax.while_loop(cond, body, (init, jnp.array(True)))
     return labels
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dmax", "dxa", "chunk", "window")
+)
+def point_distance_windowed(
+    frac_atoms,  # f32[N, 3], no padding rows
+    cell,
+    radii,  # f32[N]
+    pts,  # f32[M, 3] fractional sample points, SORTED by pts[:, 0]
+    pts_x_lo,  # f32[M/chunk] per-chunk min fractional x (static data)
+    pts_x_hi,  # f32[M/chunk] per-chunk max fractional x
+    dmax: float,
+    dxa: float,
+    chunk: int = 1024,
+    window: int = 1536,
+):
+    """Clamped min distance-to-atom-surface at arbitrary sample points.
+
+    The Monte-Carlo analog of ``distance_grid_windowed``: points are
+    pre-sorted by fractional x (done once — the same sample set serves
+    every frame), atoms are sorted per frame, and each point chunk
+    tests only a ``window`` of atom sorted order. Misses are counted
+    exactly and flagged. Used for the Zeo++-faithful -vol MC estimate
+    (amof/pore/pysimmzeopp.py:127-128: AV from ``num_samples`` MC
+    probes) with the connectivity grid kept coarse.
+
+    Returns (f32[M] distances clamped at dmax, missed bool[]).
+    """
+    n = frac_atoms.shape[0]
+    m = pts.shape[0]
+    assert m % chunk == 0, "sample count must divide into chunks"
+
+    fx = frac_atoms[:, 0] - jnp.floor(frac_atoms[:, 0])
+    xs, ax, ay, az, rs = jax.lax.sort(
+        (fx, frac_atoms[:, 0], frac_atoms[:, 1], frac_atoms[:, 2], radii),
+        dimension=0, num_keys=1,
+    )
+    if window >= n:
+        # no window exists: brute-force all atoms per chunk
+        def chunk_min_full(c0):
+            p = jax.lax.dynamic_slice(pts, (c0, 0), (chunk, 3))
+            df = p[:, None, :] - frac_atoms[None, :, :]
+            df = df - jnp.floor(df + 0.5)
+            dc = matvec3(df, cell)
+            d = jnp.sqrt(jnp.sum(dc * dc, axis=-1)) - radii[None, :]
+            return jnp.minimum(jnp.min(d, axis=1), dmax)
+
+        starts = jnp.arange(0, m, chunk)
+        return (
+            jax.lax.map(chunk_min_full, starts).reshape(-1),
+            jnp.zeros((), bool),
+        )
+
+    ext = lambda a: jnp.concatenate([a, a])
+    ext_x, ext_y, ext_z, ext_r = ext(ax), ext(ay), ext(az), ext(rs)
+
+    lo = pts_x_lo - dxa
+    hi = pts_x_hi + dxa
+    s_idx = jnp.searchsorted(xs, lo % 1.0)
+    e_idx = jnp.searchsorted(xs, hi % 1.0)
+    cnt = jnp.where(hi % 1.0 >= lo % 1.0, e_idx - s_idx, e_idx + (n - s_idx))
+    missed = jnp.any((cnt > window) | (hi - lo >= 1.0))
+
+    def chunk_min(args):
+        c0, s = args
+        p = jax.lax.dynamic_slice(pts, (c0, 0), (chunk, 3))
+        wx = jax.lax.dynamic_slice(ext_x, (s,), (window,))
+        wy = jax.lax.dynamic_slice(ext_y, (s,), (window,))
+        wz = jax.lax.dynamic_slice(ext_z, (s,), (window,))
+        wr = jax.lax.dynamic_slice(ext_r, (s,), (window,))
+        wf = jnp.stack([wx, wy, wz], axis=-1)
+        df = p[:, None, :] - wf[None, :, :]
+        df = df - jnp.floor(df + 0.5)
+        dc = matvec3(df, cell)
+        d = jnp.sqrt(jnp.sum(dc * dc, axis=-1)) - wr[None, :]
+        return jnp.minimum(jnp.min(d, axis=1), dmax)
+
+    starts = jnp.arange(0, m, chunk)
+    d = jax.lax.map(chunk_min, (starts, s_idx)).reshape(-1)
+    return d, missed
+
+
+def grid_lookup(field, frac_pts, grid):
+    """Nearest-voxel lookup of a grid field at fractional points."""
+    gvec = jnp.array(grid)
+    f = frac_pts - jnp.floor(frac_pts)
+    idx = jnp.minimum((f * gvec).astype(jnp.int32), gvec - 1)
+    return field[idx[..., 0], idx[..., 1], idx[..., 2]]

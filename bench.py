@@ -64,7 +64,18 @@ def main():
     parser.add_argument("--no-msd", action="store_true")
     parser.add_argument("--no-pore", action="store_true")
     parser.add_argument("--pore-resolution", type=float, default=0.25,
-                        help="pore voxel grid resolution in Angstrom")
+                        help="pore voxel grid resolution in Angstrom "
+                             "(fine grid; used by --pore-vol-method=grid "
+                             "and by window-miss fallbacks)")
+    parser.add_argument("--pore-vol-method", type=str, default="mc",
+                        choices=["mc", "grid"],
+                        help="mc = Zeo++'s own estimator (exact probe "
+                             "tests at num_samples MC points, coarse "
+                             "connectivity grid); grid = deterministic "
+                             "fine-grid integration")
+    parser.add_argument("--pore-conn-resolution", type=float, default=0.5,
+                        help="connectivity-grid resolution for "
+                             "--pore-vol-method=mc")
     parser.add_argument("--pore-frames", type=int, default=32,
                         help="time pore on this many frames and scale "
                              "to the full count (0 = all frames); the "
@@ -151,7 +162,11 @@ def main():
             positions=batch.positions[:n_pore], cell=batch.cell[:n_pore],
             step=batch.step[:n_pore],
         )
-        bp = BatchedPore(resolution=args.pore_resolution)
+        bp = BatchedPore(
+            resolution=args.pore_resolution,
+            vol_method=args.pore_vol_method,
+            conn_resolution=args.pore_conn_resolution,
+        )
         pore_fn, pore_args, pore_meta = bp.prepare(pore_batch, mesh=mesh)
         pore_args = jax.device_put(pore_args)
 

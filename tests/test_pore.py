@@ -546,3 +546,62 @@ class TestPallasSweeps:
             ref, 4, True, interpret=True
         )
         assert not bool(np.asarray(changed))
+
+
+class TestMcVolume:
+    """vol_method='mc' (Zeo++'s own estimator: exact probe-fit tests at
+    MC points, connectivity from a possibly-coarse grid) agrees with
+    the deterministic grid integration."""
+
+    def _batch(self, n_frames=2):
+        from amof_tpu.core.frames import FrameBatch
+
+        rng = np.random.default_rng(7)
+        box, n = 18.0, 80  # porous: substantial probe-fit volume
+        pos = rng.uniform(0, box, (n_frames, n, 3)).astype(np.float32)
+        cells = np.tile(np.eye(3, dtype=np.float32) * box, (n_frames, 1, 1))
+        return FrameBatch(
+            pos, cells, np.full(n, 6, np.int32),
+            np.arange(n_frames, dtype=np.int32),
+        )
+
+    def test_mc_matches_grid(self):
+        from amof_tpu.pore.batch import BatchedPore
+
+        batch = self._batch()
+        grid_rec, _ = BatchedPore(
+            resolution=0.2, vol_method="grid"
+        ).run(batch)
+        mc_rec, _ = BatchedPore(
+            resolution=0.2, vol_method="mc", num_samples=60000
+        ).run(batch)
+        for g, m in zip(grid_rec, mc_rec):
+            tot_g = g["AV_A^3"] + g["NAV_A^3"]
+            tot_m = m["AV_A^3"] + m["NAV_A^3"]
+            # total fit volume: MC noise ~ V*sqrt(p/M) plus grid bias
+            assert abs(tot_m - tot_g) < 0.05 * max(tot_g, 1.0), (tot_g, tot_m)
+            assert abs(m["AV_A^3"] - g["AV_A^3"]) < 0.05 * max(tot_g, 1.0)
+
+    def test_coarse_connectivity(self):
+        from amof_tpu.pore.batch import BatchedPore
+
+        batch = self._batch(1)
+        fine, _ = BatchedPore(resolution=0.2, vol_method="mc",
+                              num_samples=60000).run(batch)
+        coarse, _ = BatchedPore(
+            resolution=0.2, conn_resolution=0.4, vol_method="mc",
+            num_samples=60000,
+        ).run(batch)
+        tot_f = fine[0]["AV_A^3"] + fine[0]["NAV_A^3"]
+        tot_c = coarse[0]["AV_A^3"] + coarse[0]["NAV_A^3"]
+        # the probe-fit volume is grid-independent in mc mode: only the
+        # accessible/pocket SPLIT can shift at the boundary
+        assert tot_c == pytest.approx(tot_f, rel=1e-6)
+        assert abs(coarse[0]["NAV_A^3"] - fine[0]["NAV_A^3"]) \
+            < 0.1 * max(tot_f, 1.0)
+
+    def test_bad_vol_method_raises(self):
+        from amof_tpu.pore.batch import BatchedPore
+
+        with pytest.raises(ValueError, match="vol_method"):
+            BatchedPore(vol_method="voodoo")
