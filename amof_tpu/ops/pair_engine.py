@@ -508,11 +508,15 @@ def frame_neighbor_payload_table_sorted(
     order, so the compaction runs over a [chunk, chunk + 2*window] slice
     instead of [chunk, N].
 
-    The window is a *candidate* set, not an assumption: a single fused
-    full-range count pass recomputes each center's exact neighbor count
-    against all N atoms, and any center whose windowed count disagrees
-    (pathological density fluctuation, window too small) raises the
-    returned flag — same contract as the capacity-overflow flag.
+    The window is a *candidate* set, not an assumption: a vectorized
+    binary search verifies, per center, that EVERY atom within the
+    worst-case fractional-x reach (max cutoff / x-slab width) lies
+    within ``window`` sorted positions — a sufficient condition for the
+    window to contain all true neighbors — and any violation raises the
+    returned flag (same contract as the capacity-overflow flag). This
+    check is O(N log N); the previous revision verified by recounting
+    neighbors against all N atoms, an O(N^2) pass that cost as much as
+    the RDF kernel itself.
 
     Centers come out in sorted order; the returned ``center_pos`` /
     ``center_sp`` identify them (histogram consumers are order-invariant).
@@ -523,10 +527,11 @@ def frame_neighbor_payload_table_sorted(
     could contain the same atom twice); callers fall back to the full
     table below that size.
 
-    With ``emit_cn`` the verification pass additionally contracts its
-    full-range validity mask into per-species-pair neighbor counts
-    (one-hot MXU matmuls, like frame_cn_counts but counting ordered
-    pairs directly) — CN analysis rides the same pass for free.
+    With ``emit_cn`` the windowed validity mask is additionally
+    contracted into per-species-pair neighbor counts (one-hot MXU
+    matmuls, like frame_cn_counts but counting ordered pairs directly)
+    — CN analysis rides the same pass for free; exact whenever the
+    window check passes.
 
     ``impl="pallas"`` runs the K-slot compaction as a VMEM-resident
     Mosaic kernel (ops/pallas_neighbors.py) — same neighbor sets, same
@@ -558,11 +563,15 @@ def frame_neighbor_payload_table_sorted(
     # ---- sort every payload channel by wrapped fractional coord 0 ----
     frac0 = matvec3(positions, inv_cell)[:, 0]
     frac0 = frac0 - jnp.floor(frac0)
-    key = jnp.where(species_idx >= 0, frac0, 2.0)  # padding sorts last
-    gidx = jnp.arange(n, dtype=jnp.int32)
-    _, xs, ys, zs, sps, gis = jax.lax.sort(
+    # padding rows get keys spread UNIFORMLY through [0, 1): windows
+    # then dilute by the pad fraction (~15% for the species-blocked
+    # layout) instead of having to be wider than the whole pad block
+    # clustered at the tail (pads are species -1, masked from validity)
+    pad_spread = (jnp.arange(n, dtype=frac0.dtype) + 0.5) / n
+    key = jnp.where(species_idx >= 0, frac0, pad_spread)
+    keys_s, xs, ys, zs, sps = jax.lax.sort(
         (key, positions[:, 0], positions[:, 1], positions[:, 2],
-         species_idx.astype(jnp.int32), gidx),
+         species_idx.astype(jnp.int32)),
         dimension=0, num_keys=1,
     )
     pos_s = jnp.stack([xs, ys, zs], axis=-1)
@@ -572,50 +581,39 @@ def frame_neighbor_payload_table_sorted(
     ext_x, ext_y, ext_z = ext(xs), ext(ys), ext(zs)
     ext_sp = ext(sps)
     ext_sp_f = ext_sp.astype(jnp.float32)
-    gj_all = gidx[None, :]
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, n_species), 1)
-    oh_j = (
-        (jnp.maximum(species_idx, 0)[:, None] == iota_s)
-        & (species_idx[:, None] >= 0)
-    ).astype(jnp.bfloat16)  # [N, S]
+
+    # ---- positional-window coverage check (O(N log N), exact) ----
+    # every atom within the worst-case x-reach of a center must sit
+    # within `window` sorted positions of it; the circular span counts
+    # run THROUGH the padding tail exactly like the ext windows do
+    w0x = jnp.abs(jnp.linalg.det(cell)) / jnp.linalg.norm(
+        jnp.cross(cell[1], cell[2])
+    )
+    rxa = jnp.max(cutoff_matrix) / w0x + 1e-6
+    p_idx = i_start + jnp.arange(n_i, dtype=jnp.int32)
+    cx = jax.lax.dynamic_slice(keys_s, (i_start,), (n_i,))
+    creal = jax.lax.dynamic_slice(sps, (i_start,), (n_i,)) >= 0
+    x_hi = cx + rxa
+    x_lo = cx - rxa
+    span_r = jnp.where(
+        x_hi < 1.0,
+        jnp.searchsorted(keys_s, x_hi) - 1 - p_idx,
+        (n - p_idx) + jnp.searchsorted(keys_s, x_hi - 1.0) - 1,
+    )
+    span_l = jnp.where(
+        x_lo >= 0.0,
+        p_idx - jnp.searchsorted(keys_s, x_lo),
+        p_idx + (n - jnp.searchsorted(keys_s, x_lo + 1.0)),
+    )
+    win_missed = jnp.any(
+        creal & ((span_r > window) | (span_l > window))
+    )
 
     def chunk_table(c0):
         # centers = sorted rows [c0, c0+chunk)
         pi = jax.lax.dynamic_slice(pos_s, (c0, 0), (chunk, 3))
         si = jax.lax.dynamic_slice(sps, (c0,), (chunk,))
-        gi = jax.lax.dynamic_slice(gis, (c0,), (chunk,))
-
-        # exact full-range neighbor count (one fused [chunk, N] pass)
-        delta_full = positions[None, :, :] - pi[:, None, :]
-        d2_full = jnp.sum(
-            jnp.square(min_image_delta(delta_full, cell, inv_cell)), axis=-1
-        )
-        valid_full = (
-            (gi[:, None] != gj_all)
-            & (si >= 0)[:, None]
-            & _within_cutoff(d2_full, si, species_idx, cutoff_matrix,
-                             n_species)
-        )
-        cnt_full = jnp.sum(valid_full, axis=1).astype(jnp.int32)
-        if emit_cn:
-            per_i = jax.lax.dot_general(  # [chunk, S_j]
-                valid_full.astype(jnp.bfloat16), oh_j,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            oh_i = (si[:, None] == iota_s).astype(jnp.float32)
-            cn = jax.lax.dot_general(  # [S_i, S_j]
-                oh_i, per_i,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            cn = jnp.zeros((n_species, n_species), jnp.float32)
-
-        if use_pallas:  # compaction runs in the Mosaic kernel instead
-            zero3 = jnp.zeros((chunk, max_neighbors, 3), jnp.float32)
-            zeroi = jnp.zeros((chunk, max_neighbors), jnp.int32)
-            return zero3, zeroi, cnt_full, jnp.zeros((), bool), cn
 
         # windowed candidates: ext[c0 : c0+width) = sorted[c0-W, c0+chunk+W)
         wx = jax.lax.dynamic_slice(ext_x, (c0,), (width,))
@@ -638,6 +636,24 @@ def frame_neighbor_payload_table_sorted(
             & _within_cutoff(d2, si, wsp, cutoff_matrix, n_species)
         )
         cnt_win = jnp.sum(valid, axis=1).astype(jnp.int32)
+        if emit_cn:
+            oh_w = (
+                (jnp.maximum(wsp, 0)[:, None] == iota_s)
+                & (wsp[:, None] >= 0)
+            ).astype(jnp.bfloat16)  # [width, S]
+            per_i = jax.lax.dot_general(  # [chunk, S_j]
+                valid.astype(jnp.bfloat16), oh_w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            oh_i = (si[:, None] == iota_s).astype(jnp.float32)
+            cn = jax.lax.dot_general(  # [S_i, S_j]
+                oh_i, per_i,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            cn = jnp.zeros((n_species, n_species), jnp.float32)
 
         score = jnp.where(valid, col, width)
         pos_cols, sp_cols = [], []
@@ -658,30 +674,48 @@ def frame_neighbor_payload_table_sorted(
             score = jnp.where(sel, width, score)
         nbr_pos = jnp.stack(pos_cols, axis=1)  # [chunk, K, 3]
         nbr_sp = jnp.stack(sp_cols, axis=1)
-        return nbr_pos, nbr_sp, cnt_full, jnp.any(cnt_full != cnt_win), cn
+        return nbr_pos, nbr_sp, cnt_win, cn
 
-    starts = i_start + jnp.arange(0, n_i, chunk)
-    nbr_pos, nbr_sp, nbr_cnt, missed, cn = jax.lax.map(chunk_table, starts)
-    k = max_neighbors
-    nbr_pos = nbr_pos.reshape(n_i, k, 3)
-    nbr_sp = nbr_sp.reshape(n_i, k)
-    nbr_cnt = nbr_cnt.reshape(n_i)
+    center_sp = jax.lax.dynamic_slice(sps, (i_start,), (n_i,))
     if use_pallas:
         from amof_tpu.ops.pallas_neighbors import pallas_window_table
 
-        nbr_pos, nbr_sp, cnt_win = pallas_window_table(
+        nbr_pos, nbr_sp, nbr_cnt = pallas_window_table(
             pos_s, sps, cell, cutoff_matrix, n_species, max_neighbors,
             chunk, window,
         )
-        missed = cnt_win != nbr_cnt  # vs the XLA verification pass
-    flag = jnp.any(missed) | jnp.any(nbr_cnt > max_neighbors)
+        if emit_cn:
+            # per-species-pair counts from the compacted table: exact
+            # whenever no center overflows K (overflow raises the flag
+            # and callers retry with a larger K anyway)
+            oh_n = (
+                (jnp.maximum(nbr_sp, 0)[..., None] == iota_s[None])
+                & (nbr_sp[..., None] >= 0)
+            ).astype(jnp.float32)  # [n, K, S]
+            per_i = jnp.sum(oh_n, axis=1)  # [n, S_j]
+            oh_i = (center_sp[:, None] == iota_s).astype(jnp.float32)
+            cn = jax.lax.dot_general(
+                oh_i, per_i,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            cn = jnp.zeros((n_species, n_species), jnp.float32)
+    else:
+        starts = i_start + jnp.arange(0, n_i, chunk)
+        nbr_pos, nbr_sp, nbr_cnt, cn = jax.lax.map(chunk_table, starts)
+        k = max_neighbors
+        nbr_pos = nbr_pos.reshape(n_i, k, 3)
+        nbr_sp = nbr_sp.reshape(n_i, k)
+        nbr_cnt = nbr_cnt.reshape(n_i)
+        cn = jnp.sum(cn, axis=0)
+    flag = win_missed | jnp.any(nbr_cnt > max_neighbors)
     center_pos = jax.lax.dynamic_slice(pos_s, (i_start, 0), (n_i, 3))
-    center_sp = jax.lax.dynamic_slice(sps, (i_start,), (n_i,))
     out = (
         nbr_pos, nbr_sp, jnp.minimum(nbr_cnt, max_neighbors), flag,
         center_pos, center_sp,
     )
-    return out + (jnp.sum(cn, axis=0),) if emit_cn else out
+    return out + (cn,) if emit_cn else out
 
 @functools.partial(
     jax.jit, static_argnames=("max_neighbors", "chunk", "n_i")

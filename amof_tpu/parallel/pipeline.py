@@ -341,8 +341,9 @@ class FusedAnalysis:
             v = np.abs(np.einsum("fi,fi->f", cells[:, 0].astype(np.float64),
                                  bxc))
             w0 = float((v / np.linalg.norm(bxc, axis=1)).min())
-            est = 1.6 * len(species) * 2.0 * rc / max(w0, 1e-9)
-            est += (positions.shape[1] - len(species)) + 64
+            # pad rows carry uniformly-spread sort keys, so the window
+            # scales with the PADDED atom count, not real + all pads
+            est = 1.6 * positions.shape[1] * 2.0 * rc / max(w0, 1e-9) + 64
             bad_window = int(-(-est // 128) * 128)
         if bad_window is not None and (
             self.chunk + 2 * bad_window >= positions.shape[1]

@@ -60,6 +60,8 @@ def _make_frame_fn(
     surf_window: Optional[int],
     mc_samples=None,  # (pts f32[M,3] x-sorted, lo f32[C], hi f32[C],
     #                    window int) -> -vol via MC instead of voxels
+    dist2=None,  # (tvx, tvy, nbx, k_slabs, window2, dya): two-level
+    #              (x-slab, y-window) distance grid
 ):
     """Per-frame traced function: (pos, cell, volume) ->
     (asa, nasa, av, nav, missed)."""
@@ -72,7 +74,14 @@ def _make_frame_fn(
         frac = matvec3(pos, inv_cell)
         frac = frac - jnp.floor(frac)
 
-        if dist_window is not None:
+        if dist2 is not None:
+            tvx, tvy, nbx, k_slabs, window2, dya = dist2
+            dist, miss_d = grid_kernel.distance_grid_windowed2(
+                frac, cell, radii, grid, dmax=dmax, dxa=dxa, dya=dya,
+                tvx=tvx, tvy=tvy, nbx=nbx, k_slabs=k_slabs,
+                window=window2,
+            )
+        elif dist_window is not None:
             dist, miss_d = grid_kernel.distance_grid_windowed(
                 frac, cell, radii, grid, dmax=dmax, dxa=dxa,
                 window=dist_window,
@@ -248,6 +257,33 @@ class BatchedPore:
             if 32 + 2 * surf_window >= n_at:
                 surf_window = None
 
+        # two-level (x-slab, y-window) upgrade for the distance grid:
+        # engaged when its candidate work beats the one-level window
+        dist2 = None
+        if self.window == "auto" and dist_window is not None:
+            cxa = np.cross(cells[:, 2], cells[:, 0])
+            w0y = float(
+                (np.abs(np.einsum("fi,fi->f", cells[:, 1], cxa))
+                 / np.linalg.norm(cxa, axis=1)).min()
+            )
+            dya = float(
+                np.ceil((dmax + float(radii.max())) / w0y / 5e-3) * 5e-3
+            )
+            tvx = next((t for t in (8, 4) if grid[0] % t == 0), None)
+            tvy = next((t for t in (16, 8, 4) if grid[1] % t == 0), None)
+            if tvx and tvy:
+                nbx = max(2, min(64, int(1 / (2 * dxa)) or 2))
+                rx = (tvx - 1) / grid[0] + 2 * dxa
+                ry = (tvy - 1) / grid[1] + 2 * dya
+                k_slabs = int(np.ceil(rx * nbx)) + 1
+                if ry < 0.99 and k_slabs <= nbx:
+                    w_est = 1.3 * n_at * ry / nbx + 64
+                    window2 = int(-(-w_est // 128) * 128)
+                    # tile bookkeeping costs real time: engage only
+                    # on a decisive (2x) candidate-work advantage
+                    if k_slabs * window2 * 2 < dist_window:
+                        dist2 = (tvx, tvy, nbx, k_slabs, window2, dya)
+
         # Zeo++ spreads num_samples MC points across ALL atom spheres
         # (~5/atom at 10k atoms); 16 deterministic Fibonacci directions
         # per atom is the accuracy floor here, >= 3x Zeo++'s default
@@ -276,6 +312,7 @@ class BatchedPore:
         frame_fn = _make_frame_fn(
             jnp.asarray(radii), jnp.asarray(dirs), grid, probe, chan,
             dist_window, dxa, surf_window, mc_samples=mc_samples,
+            dist2=dist2,
         )
 
         def step(positions, cells_f, volumes_f):
@@ -323,6 +360,7 @@ class BatchedPore:
             "grid": grid, "mesh": mesh, "mass_amu": mass_amu,
             "volumes": volumes, "dist_window": dist_window,
             "surf_window": surf_window, "k": k, "frames_per_call": fpc,
+            "dist2": dist2,
         }
         return chunked_step, args, meta
 

@@ -823,3 +823,140 @@ def grid_lookup(field, frac_pts, grid):
     f = frac_pts - jnp.floor(frac_pts)
     idx = jnp.minimum((f * gvec).astype(jnp.int32), gvec - 1)
     return field[idx[..., 0], idx[..., 1], idx[..., 2]]
+
+
+# --------------------------------------------------------------------------
+# Two-level sorted windows: (x-slab, y-window) candidate pruning
+# --------------------------------------------------------------------------
+
+def _sort_atoms_slab_y(frac_atoms, radii, nbx: int, y_img: float):
+    """Sort atoms (plus y-wrap images) by an (x-slab, y) composite key.
+
+    Atoms are bucketed into ``nbx`` fractional-x slabs and sorted by
+    ``slab * 2 + fy`` so each slab's run is y-ordered; atoms with
+    ``fy < y_img`` get an image at ``fy + 1`` within the same slab
+    (key + 1), which makes every y-window query a single contiguous
+    range even when it wraps the cell. Invalid image rows carry key
+    1e9 and sort to the global tail, beyond every slab.
+
+    Returns (keys, x, y, z, r), each f32[2N] in sorted order.
+    """
+    fx = frac_atoms[:, 0] - jnp.floor(frac_atoms[:, 0])
+    fy = frac_atoms[:, 1] - jnp.floor(frac_atoms[:, 1])
+    fz = frac_atoms[:, 2] - jnp.floor(frac_atoms[:, 2])
+    slab = jnp.minimum((fx * nbx).astype(jnp.int32), nbx - 1).astype(
+        jnp.float32
+    )
+    key0 = slab * 2.0 + fy
+    key1 = jnp.where(fy < y_img, key0 + 1.0, 1e9)
+    keys = jnp.concatenate([key0, key1])
+    xs = jnp.concatenate([fx, fx])
+    ys = jnp.concatenate([fy, fy + 1.0])
+    zs = jnp.concatenate([fz, fz])
+    rs = jnp.concatenate([radii, radii])
+    return jax.lax.sort(
+        (keys, xs, ys, zs, rs), dimension=0, num_keys=1
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid", "dmax", "dxa", "dya", "tvx", "tvy", "nbx", "k_slabs",
+        "window",
+    ),
+)
+def distance_grid_windowed2(
+    frac_atoms,  # f32[N, 3], no padding rows
+    cell,
+    radii,  # f32[N]
+    grid,
+    dmax: float,
+    dxa: float,  # fractional-x reach: (dmax + max radius) / slab width x
+    dya: float,  # fractional-y reach
+    tvx: int = 4,
+    tvy: int = 16,
+    nbx: int = 8,
+    k_slabs: int = 3,
+    window: int = 512,
+):
+    """Clamped distance field via TWO-level sorted windows.
+
+    Each (tvx, tvy, Gz) voxel tile tests only atoms from ``k_slabs``
+    x-slabs, each restricted to a ``window``-wide y-ordered run — the
+    candidate count scales with the tile's (x + 2 reach) x (y + 2
+    reach) footprint instead of the full y-z slab of the one-level
+    version. Coverage is exact by construction (slabs cover the x
+    reach, y-images cover wrap), and per-(tile, slab) candidate counts
+    are verified by binary search: any overflow raises the missed flag.
+
+    Returns (f32[Gx, Gy, Gz] clamped at dmax, missed bool[]).
+    """
+    gx, gy, gz = grid
+    assert gx % tvx == 0 and gy % tvy == 0, "tiles must divide the grid"
+    n = frac_atoms.shape[0]
+    n_i, n_j = gx // tvx, gy // tvy
+    ry = (tvy - 1) / gy + 2 * dya
+    rx = (tvx - 1) / gx + 2 * dxa
+    assert ry < 1.0, "y reach covers the cell; use the 1-level kernel"
+    assert k_slabs >= int(np.ceil(rx * nbx)) + 1, (
+        f"k_slabs={k_slabs} cannot cover x reach {rx} with nbx={nbx}"
+    )
+
+    keys, xs_, ys_, zs_, rs_ = _sort_atoms_slab_y(frac_atoms, radii, nbx, ry)
+
+    # per-(tile_i, slab k) slab ids and per-(tile_j) wrapped y windows
+    x_lo = (np.arange(n_i) * tvx + 0.5) / gx - dxa  # [n_i]
+    slab0 = np.floor((x_lo % 1.0) * nbx).astype(np.int64)  # [n_i]
+    slabs = (slab0[:, None] + np.arange(k_slabs)[None, :]) % nbx  # [n_i, K]
+    y_lo = ((np.arange(n_j) * tvy + 0.5) / gy - dya) % 1.0  # [n_j]
+
+    q_lo = (
+        slabs[:, None, :] * 2.0 + y_lo[None, :, None]
+    ).astype(np.float32)  # [n_i, n_j, K]
+    q_hi = (q_lo + ry).astype(np.float32)
+    starts = jnp.searchsorted(keys, jnp.asarray(q_lo.reshape(-1)))
+    ends = jnp.searchsorted(keys, jnp.asarray(q_hi.reshape(-1)))
+    missed = jnp.any((ends - starts) > window)
+    starts = starts.reshape(n_i, n_j, k_slabs)
+
+    # voxel fractional coordinates as a 4-d array for tile slicing
+    ii = (jnp.arange(gx) + 0.5) / gx
+    jj = (jnp.arange(gy) + 0.5) / gy
+    kk = (jnp.arange(gz) + 0.5) / gz
+    vf3 = jnp.stack(jnp.meshgrid(ii, jj, kk, indexing="ij"), axis=-1)
+
+    n_tiles = n_i * n_j
+    tile_ti = jnp.arange(n_tiles, dtype=jnp.int32) // n_j
+    tile_tj = jnp.arange(n_tiles, dtype=jnp.int32) % n_j
+
+    def tile_min(args):
+        ti, tj, st = args  # st: [K]
+        v = jax.lax.dynamic_slice(
+            vf3, (ti * tvx, tj * tvy, 0, 0), (tvx, tvy, gz, 3)
+        ).reshape(-1, 3)
+        d = jnp.full(v.shape[0], dmax, jnp.float32)
+        for k in range(k_slabs):
+            s = st[k]
+            wx = jax.lax.dynamic_slice(xs_, (s,), (window,))
+            wy = jax.lax.dynamic_slice(ys_, (s,), (window,))
+            wz = jax.lax.dynamic_slice(zs_, (s,), (window,))
+            wr = jax.lax.dynamic_slice(rs_, (s,), (window,))
+            wk = jax.lax.dynamic_slice(keys, (s,), (window,))
+            wf = jnp.stack([wx, wy, wz], axis=-1)
+            df = v[:, None, :] - wf[None, :, :]
+            df = df - jnp.floor(df + 0.5)
+            dc = matvec3(df, cell)
+            dk = jnp.sqrt(jnp.sum(dc * dc, axis=-1)) - wr[None, :]
+            # rows past the slab run (key outside [q, q+ry]) are other
+            # slabs' atoms or invalid images: still CORRECT candidates
+            # (distance only shrinks the min if genuinely close) except
+            # the 1e9-key image tail whose coordinates are real atoms
+            # too — so no masking is needed; extra rows only cost time
+            dk = jnp.where(wk[None, :] < 5e8, dk, jnp.inf)
+            d = jnp.minimum(d, jnp.min(dk, axis=-1))
+        return d
+
+    d = jax.lax.map(tile_min, (tile_ti, tile_tj, starts.reshape(-1, k_slabs)))
+    d = d.reshape(n_i, n_j, tvx, tvy, gz).transpose(0, 2, 1, 3, 4)
+    return d.reshape(gx, gy, gz), missed

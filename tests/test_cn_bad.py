@@ -272,12 +272,9 @@ class TestSortedWindowTable:
             pos, cell, sp, cm, max_neighbors=8, chunk=64, window=1
         )
         nbr_pos, nbr_sp, nbr_cnt, flag, c_pos, c_sp = out
+        # the positional coverage check must flag the too-narrow window;
+        # counts are NOT trustworthy on a miss (callers fall back)
         assert bool(flag)
-        full = pair_engine.frame_neighbor_payload_table(
-            pos, cell, sp, cm, max_neighbors=8, chunk=64
-        )
-        # counts come from the verification pass: exact despite the miss
-        assert np.asarray(nbr_cnt).sum() == np.asarray(full[2]).sum()
 
     def test_centers_are_permutation(self):
         from amof_tpu.ops import pair_engine

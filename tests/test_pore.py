@@ -605,3 +605,84 @@ class TestMcVolume:
 
         with pytest.raises(ValueError, match="vol_method"):
             BatchedPore(vol_method="voodoo")
+
+
+class TestTwoLevelWindow:
+    """Two-level (x-slab, y-window) distance grid == brute force."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_full_grid(self, seed):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        n, box = 600, 16.0
+        cell = (np.eye(3) * box).astype(np.float32)
+        frac = rng.random((n, 3)).astype(np.float32)
+        radii = rng.uniform(1.0, 2.0, n).astype(np.float32)
+        grid = (16, 16, 16)
+        dmax = 1.201
+        reach = (dmax + radii.max()) / box
+        dxa = float(np.ceil(reach / 5e-3) * 5e-3)
+        nbx = max(2, min(16, int(1 / (2 * dxa))))
+        k_slabs = int(np.ceil(((4 - 1) / 16 + 2 * dxa) * nbx)) + 1
+        ry = (4 - 1) / 16 + 2 * dxa
+        window = int(-(-1.5 * n * ry / nbx // 128) * 128) + 128
+
+        d2, missed = grid_kernel.distance_grid_windowed2(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            grid, dmax=dmax, dxa=dxa, dya=dxa, tvx=4, tvy=4,
+            nbx=nbx, k_slabs=k_slabs, window=window,
+        )
+        assert not bool(np.asarray(missed))
+        ref = np.minimum(np.asarray(grid_kernel.distance_grid(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii), grid
+        )), dmax)
+        np.testing.assert_allclose(np.asarray(d2), ref, atol=1e-5)
+
+    def test_miss_flag_on_tiny_window(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        n, box = 400, 12.0
+        cell = (np.eye(3) * box).astype(np.float32)
+        frac = rng.random((n, 3)).astype(np.float32)
+        radii = np.full(n, 1.5, np.float32)
+        _, missed = grid_kernel.distance_grid_windowed2(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            (12, 12, 12), dmax=1.2, dxa=0.3, dya=0.3, tvx=4, tvy=4,
+            nbx=2, k_slabs=3, window=128,
+        )
+        assert bool(np.asarray(missed))
+
+    def test_triclinic(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(4)
+        n = 500
+        cell = np.array(
+            [[15.0, 0, 0], [3.0, 14.0, 0], [1.0, 2.0, 13.0]], np.float32
+        )
+        frac = rng.random((n, 3)).astype(np.float32)
+        radii = rng.uniform(1.2, 2.1, n).astype(np.float32)
+        grid = (16, 16, 16)
+        w0x = abs(np.linalg.det(cell)) / np.linalg.norm(
+            np.cross(cell[1], cell[2]))
+        w0y = abs(np.linalg.det(cell)) / np.linalg.norm(
+            np.cross(cell[2], cell[0]))
+        dmax = 1.201
+        dxa = float(np.ceil((dmax + radii.max()) / w0x / 5e-3) * 5e-3)
+        dya = float(np.ceil((dmax + radii.max()) / w0y / 5e-3) * 5e-3)
+        nbx = max(2, min(16, int(1 / (2 * dxa))))
+        k_slabs = int(np.ceil(((4 - 1) / 16 + 2 * dxa) * nbx)) + 1
+        ry = (4 - 1) / 16 + 2 * dya
+        window = int(-(-1.5 * n * ry / nbx // 128) * 128) + 128
+        d2, missed = grid_kernel.distance_grid_windowed2(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            grid, dmax=dmax, dxa=dxa, dya=dya, tvx=4, tvy=4,
+            nbx=nbx, k_slabs=k_slabs, window=window,
+        )
+        assert not bool(np.asarray(missed))
+        ref = np.minimum(np.asarray(grid_kernel.distance_grid(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii), grid
+        )), dmax)
+        np.testing.assert_allclose(np.asarray(d2), ref, atol=1e-5)
