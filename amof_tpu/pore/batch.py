@@ -252,7 +252,7 @@ class BatchedPore:
             if dist_window >= n_at:
                 dist_window = None
             reach = 2.0 * (float(radii.max()) + probe)
-            w_est = 1.3 * n_at * 2.0 * reach / w0 + 64
+            w_est = 1.3 * n_at * reach / w0 + 64  # reach already spans R_i+R_j+2p
             surf_window = int(-(-w_est // 128) * 128)
             if 32 + 2 * surf_window >= n_at:
                 surf_window = None

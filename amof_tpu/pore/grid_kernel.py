@@ -391,8 +391,11 @@ def surface_point_classification_windowed(
     A sample point on atom i's probe sphere can only be blocked by atoms
     within R_i + R_j + 2*r_probe of the center (triangle inequality), so
     after sorting atoms by fractional x each chunk of centers tests a
-    [chunk + 2*window] slice of sorted order instead of all N atoms. An
-    exact full-range candidate count per center flags any window miss.
+    [chunk + 2*window] slice of sorted order instead of all N atoms. A
+    vectorized binary search verifies per center that every atom within
+    the worst-case fractional-x reach sits within ``window`` sorted
+    positions (O(N log N); this used to be an O(N^2) recount), flagging
+    any miss.
 
     Returns (acc_counts, nacc_counts, orig_idx, sorted_radii, missed):
     counts are in sorted order; scatter them back with
@@ -410,12 +413,32 @@ def surface_point_classification_windowed(
 
     fx = frac_atoms[:, 0] - jnp.floor(frac_atoms[:, 0])
     gidx = jnp.arange(n, dtype=jnp.int32)
-    _, ax, ay, az, rs, gis = jax.lax.sort(
+    keys_s, ax, ay, az, rs, gis = jax.lax.sort(
         (fx, frac_atoms[:, 0], frac_atoms[:, 1], frac_atoms[:, 2], radii,
          gidx),
         dimension=0, num_keys=1,
     )
     fa_s = jnp.stack([ax, ay, az], axis=-1)
+
+    # positional-window coverage check (exact; see the docstring)
+    w0x = jnp.abs(jnp.linalg.det(cell)) / jnp.linalg.norm(
+        jnp.cross(cell[1], cell[2])
+    )
+    rxa = (rs + jnp.max(radii) + 2.0 * r_probe) / w0x + 1e-6  # per center
+    p_idx = jnp.arange(n, dtype=jnp.int32)
+    x_hi = keys_s + rxa
+    x_lo = keys_s - rxa
+    span_r = jnp.where(
+        x_hi < 1.0,
+        jnp.searchsorted(keys_s, x_hi) - 1 - p_idx,
+        (n - p_idx) + jnp.searchsorted(keys_s, x_hi - 1.0) - 1,
+    )
+    span_l = jnp.where(
+        x_lo >= 0.0,
+        p_idx - jnp.searchsorted(keys_s, x_lo),
+        p_idx + (n - jnp.searchsorted(keys_s, x_lo + 1.0)),
+    )
+    missed = jnp.any((span_r > window) | (span_l > window))
     pad = (-n) % chunk
     if pad:
         fa_s = jnp.concatenate([fa_s, jnp.zeros((pad, 3), fa_s.dtype)])
@@ -436,39 +459,12 @@ def surface_point_classification_windowed(
     def chunk_counts(c0):
         fa = jax.lax.dynamic_slice(fa_s, (c0, 0), (chunk, 3))
         ra = jax.lax.dynamic_slice(rs, (c0,), (chunk,))
-
-        # exact full-range candidate count (one fused pass): any atom
-        # within R_i + R_j + 2 r_probe can block a point of center i
-        dfc = fa[:, None, :] - fa_s[None, :n, :]
-        dfc = dfc - jnp.floor(dfc + 0.5)
-        dcc = matvec3(dfc, cell)
-        dcent = jnp.sqrt(jnp.sum(dcc * dcc, axis=-1))
-        reach = ra[:, None] + rs[None, :n] + 2.0 * r_probe
-        is_cand = (dcent < reach) & (rs[None, :n] > -1e8)
-        col_full = jax.lax.broadcasted_iota(jnp.int32, (chunk, n), 1)
-        self_full = c0 + jax.lax.broadcasted_iota(
-            jnp.int32, (chunk, n), 0
-        )
-        is_cand &= col_full != self_full
-        cnt_full = jnp.sum(is_cand, axis=1)
-
-        # windowed candidates
         wf = jax.lax.dynamic_slice(ext_f, (c0, 0), (width, 3))
         wr = jax.lax.dynamic_slice(ext_r, (c0,), (width,))
-        dfw = fa[:, None, :] - wf[None, :, :]
-        dfw = dfw - jnp.floor(dfw + 0.5)
-        dcw = matvec3(dfw, cell)
-        dw = jnp.sqrt(jnp.sum(dcw * dcw, axis=-1))
         col = jax.lax.broadcasted_iota(jnp.int32, (chunk, width), 1)
         self_col = window + jax.lax.broadcasted_iota(
             jnp.int32, (chunk, width), 0
         )
-        cand_w = (
-            (dw < ra[:, None] + wr[None, :] + 2.0 * r_probe)
-            & (wr[None, :] > -1e8)
-            & (col != self_col)
-        )
-        cnt_win = jnp.sum(cand_w, axis=1)
 
         centers = matvec3(fa, cell)
         pts = centers[:, None, :] + (ra[:, None, None] + r_probe) * dirs[None]
@@ -492,14 +488,11 @@ def surface_point_classification_windowed(
         return (
             jnp.sum(acc_pt, axis=1).astype(jnp.int32),
             jnp.sum(nacc_pt, axis=1).astype(jnp.int32),
-            jnp.any(cnt_full != cnt_win),
         )
 
     starts = jnp.arange(0, n_pad, chunk)
-    acc, nacc, missed = jax.lax.map(chunk_counts, starts)
-    return (
-        acc.reshape(-1), nacc.reshape(-1), gis, rs[:n], jnp.any(missed)
-    )
+    acc, nacc = jax.lax.map(chunk_counts, starts)
+    return acc.reshape(-1), nacc.reshape(-1), gis, rs[:n], missed
 
 
 def _voxel_offset_norms(cell, grid):

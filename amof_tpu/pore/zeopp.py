@@ -165,7 +165,7 @@ def analyze_frame(
             # same sorted-window trick, miss-checked exactly
             w0 = volume / float(np.linalg.norm(np.cross(cell[1], cell[2])))
             reach = 2.0 * (float(atom_radii.max()) + float(probe_radius))
-            w_est = 1.3 * len(atom_radii) * 2.0 * reach / w0 + 64
+            w_est = 1.3 * len(atom_radii) * reach / w0 + 64  # reach already spans R_i+R_j+2p
             w_surf = int(-(-w_est // 128) * 128)
             if 32 + 2 * w_surf < len(atom_radii):
                 a_s, n_s, gis, _, missed = (
