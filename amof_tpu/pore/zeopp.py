@@ -124,13 +124,14 @@ def analyze_frame(
         # coarse rounding keeps the static arg stable across NPT frames
         dxa = float(np.ceil((dmax + float(atom_radii.max())) / w0 / 5e-3)
                     * 5e-3)
-        chunk = 1024
         n_at = len(atom_radii)
+        chunk = 2048  # pessimistic span for the adaptive chunk
         span = (chunk // (grid[1] * grid[2]) + 2) / grid[0]
         if window == "auto":
             w_est = 1.3 * n_at * (span + 2 * dxa) + 64
             window = int(-(-w_est // 128) * 128)
         if window < n_at:
+            chunk = 2048 if int(window) <= 2048 else 1024
             d_w, missed = grid_kernel.distance_grid_windowed(
                 frac, cell, atom_radii, grid, dmax=dmax, dxa=dxa,
                 chunk=chunk, window=int(window),
