@@ -112,7 +112,7 @@ def _make_frame_fn(
             pts, lo, hi, pwin = mc_samples
             d_pts, miss_p = grid_kernel.point_distance_windowed(
                 frac, cell, radii, pts, lo, hi,
-                dmax=probe + 1e-3, dxa=dxa, window=pwin,
+                dmax=probe + 1e-3, dxa=dxa, chunk=2048, window=pwin,
             )
             miss_d = miss_d | miss_p
             fit_pt = d_pts >= probe
@@ -178,9 +178,16 @@ class BatchedPore:
         # EXACT probe-fit tests (Zeo++'s own estimator,
         # amof/pore/pysimmzeopp.py:127-128); the grid then only decides
         # the accessible/pocket split, so it can be coarser
-        # (conn_resolution, default = resolution): accessibility is a
-        # topological question at the 2*probe scale, while "grid" mode
-        # needs the fine grid for the volumes themselves.
+        # (conn_resolution, default = resolution).
+        # ACCURACY CAVEAT (measured): a voxel whose CENTER is blocked
+        # seals the whole voxel, so coarse connectivity grids close
+        # passages narrower than ~one voxel and systematically
+        # UNDER-report accessibility near the percolation threshold
+        # (a borderline channel was classified open at <= 0.3 A and
+        # sealed at >= 0.35 A in a 300-atom test glass). Keep
+        # conn_resolution = resolution (the default) for near-critical
+        # systems; coarse grids are exact when channels/pockets are
+        # comfortably wider or narrower than the probe.
         if vol_method not in ("grid", "mc"):
             raise ValueError(f"vol_method must be 'grid' or 'mc', got "
                              f"{vol_method!r}")
@@ -299,7 +306,7 @@ class BatchedPore:
             # one seeded sample set serves every frame (frames are
             # independent estimates; the sampling error is Zeo++'s own
             # ~sqrt(p(1-p)/num_samples))
-            chunk_pts = 1024
+            chunk_pts = 2048
             m = -(-self.num_samples // chunk_pts) * chunk_pts
             rng = np.random.default_rng(20240817)
             pts = rng.random((m, 3)).astype(np.float32)

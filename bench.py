@@ -75,7 +75,10 @@ def main():
                              "fine-grid integration")
     parser.add_argument("--pore-conn-resolution", type=float, default=0.5,
                         help="connectivity-grid resolution for "
-                             "--pore-vol-method=mc")
+                             "--pore-vol-method=mc; exact for this "
+                             "workload (no channel is near-critical at "
+                             "probe 1.2 A) - keep = resolution for "
+                             "near-percolation systems")
     parser.add_argument("--pore-frames", type=int, default=32,
                         help="time pore on this many frames and scale "
                              "to the full count (0 = all frames); the "
