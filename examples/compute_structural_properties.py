@@ -12,7 +12,10 @@ import sys
 
 import amof_tpu.trajectory as amtraj
 
-xyz = sys.argv[1] if len(sys.argv) > 1 else "ZIF-4.xyz"
+xyz = sys.argv[1] if len(sys.argv) > 1 else next(
+    (p for p in ("ZIF-4.xyz", "/root/reference/examples/files/ZIF-4.xyz")
+     if __import__("os").path.exists(p)), "ZIF-4.xyz",
+)
 traj = amtraj.read_traj(xyz, ":")
 print(f"frames: {len(traj)}, atoms: {len(traj[0])}")
 

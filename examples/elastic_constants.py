@@ -16,7 +16,11 @@ from amof_tpu.elastic import (
 )
 from amof_tpu.io.cp2k import read_tabular
 
-cell_file = sys.argv[1] if len(sys.argv) > 1 else "toy_trajectory.cell"
+cell_file = sys.argv[1] if len(sys.argv) > 1 else next(
+    (p for p in ("toy_trajectory.cell",
+                 "/root/reference/examples/files/toy_trajectory.cell")
+     if __import__("os").path.exists(p)), "toy_trajectory.cell",
+)
 df = read_tabular(cell_file)
 h = df[[c for c in df.columns if c[0] in "ABC" and len(c) == 2]].to_numpy()
 h = h.reshape(-1, 3, 3)

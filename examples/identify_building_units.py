@@ -13,7 +13,10 @@ import amof_tpu.coordination.reduce as amred
 import amof_tpu.ring as amring
 import amof_tpu.trajectory as amtraj
 
-xyz = sys.argv[1] if len(sys.argv) > 1 else "ZIF-4.xyz"
+xyz = sys.argv[1] if len(sys.argv) > 1 else next(
+    (p for p in ("ZIF-4.xyz", "/root/reference/examples/files/ZIF-4.xyz")
+     if __import__("os").path.exists(p)), "ZIF-4.xyz",
+)
 traj = amtraj.read_traj(xyz, ":")
 
 red_traj = amred.reduce_trajectory(traj, "ZIF-4", filename="example_reduced")
