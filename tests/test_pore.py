@@ -686,3 +686,27 @@ class TestTwoLevelWindow:
             jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii), grid
         )), dmax)
         np.testing.assert_allclose(np.asarray(d2), ref, atol=1e-5)
+
+
+class TestBatchedPoreMesh:
+    def test_mesh_invariance(self):
+        """BatchedPore results are identical on 1- and 8-device meshes
+        (frames shard with zero cross-frame communication)."""
+        from amof_tpu.core.frames import FrameBatch
+        from amof_tpu.parallel.mesh import analysis_mesh
+        from amof_tpu.pore.batch import BatchedPore
+
+        rng = np.random.default_rng(11)
+        nf, n, box = 8, 80, 16.0
+        batch = FrameBatch(
+            rng.uniform(0, box, (nf, n, 3)).astype(np.float32),
+            np.tile(np.eye(3, dtype=np.float32) * box, (nf, 1, 1)),
+            np.full(n, 6, np.int32), np.arange(nf, dtype=np.int32),
+        )
+        bp = BatchedPore(resolution=0.4, vol_method="mc",
+                         num_samples=20000)
+        r1, _ = bp.run(batch, mesh=analysis_mesh(1))
+        r8, _ = bp.run(batch, mesh=analysis_mesh(8, n_frames=nf))
+        for a, b in zip(r1, r8):
+            for key in ("AV_A^3", "NAV_A^3", "ASA_A^2", "NASA_A^2"):
+                assert a[key] == pytest.approx(b[key], rel=1e-5), key
