@@ -145,6 +145,34 @@ class CoreBad:
         bad_class.read_bad_file(filename)
         return bad_class
 
+    @staticmethod
+    def bad_BAB(atom, A, B, nl):
+        """B-A-B angles of one frame from a per-atom neighbor-list dict
+        (parity: amof/bad.py:71-101). Host-side compatibility helper —
+        the analysis path uses the fused device kernels instead.
+
+        Args:
+            atom: a Frame (or ASE-compatible) object.
+            A, B: atomic numbers, or "X" wildcards.
+            nl: {atom index: [neighbor indices]} as from
+                amof_tpu.atom.get_neighborlist.
+        """
+        import itertools
+
+        numbers = atom.get_atomic_numbers()
+        angles = []
+        for a in range(len(numbers)):
+            if A == "X" or numbers[a] == A:
+                b_nb = [
+                    i for i in nl[a] if B == "X" or numbers[i] == B
+                ]
+                angle_idx = [
+                    [i, a, j] for i, j in itertools.combinations(b_nb, 2)
+                ]
+                if angle_idx:
+                    angles += list(atom.get_angles(angle_idx, mic=True))
+        return angles
+
 
 class Bad(CoreBad):
     """Bond-angle distribution, density-normalized over all frames."""

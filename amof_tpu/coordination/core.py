@@ -285,26 +285,32 @@ class CoordinationSearch:
             self.conn[i] = list(set(self.conn[i]))
 
     # -- bonded-graph construction + cycle search ---------------------------
-    def species_bond_graph(self, pairs, dist_margin=None):
-        """Adjacency sets for bonds between the given species pairs under
-        the covalent-distance criterion (the add_ABbonds graph,
-        amof/coordination/core.py:246-262)."""
+    def add_ABbonds(self, graph, A, B, dist_margin=None):
+        """Add A-B bonds to an adjacency-set graph in place under the
+        covalent-distance criterion (parity:
+        amof/coordination/core.py:246-262, which mutates a pymatgen
+        StructureGraph; here the graph is a list of neighbor sets)."""
         if dist_margin is None:
             dist_margin = self.dist_margin
+        for i in range(len(self.frame)):
+            if self.elems[i] != A:
+                continue
+            for nb in self.all_neighb[i]:
+                j = nb.index
+                if (
+                    self.elems[j] == B
+                    and nb.nn_distance
+                    < dist_margin * self.get_covdist(i, j)
+                ):
+                    graph[i].add(j)
+                    graph[j].add(i)
+
+    def species_bond_graph(self, pairs, dist_margin=None):
+        """Adjacency sets for bonds between the given species pairs
+        (a fresh add_ABbonds graph for several pairs at once)."""
         adj = [set() for _ in range(len(self.frame))]
         for A, B in pairs:
-            for i in range(len(self.frame)):
-                if self.elems[i] != A:
-                    continue
-                for nb in self.all_neighb[i]:
-                    j = nb.index
-                    if (
-                        self.elems[j] == B
-                        and nb.nn_distance
-                        < dist_margin * self.get_covdist(i, j)
-                    ):
-                        adj[i].add(j)
-                        adj[j].add(i)
+            self.add_ABbonds(adj, A, B, dist_margin)
         return adj
 
     @staticmethod

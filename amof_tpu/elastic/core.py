@@ -53,6 +53,10 @@ def cummean(a, axis=0):
 class ElasticConstant:
     """Stiffness-matrix time series from a cell time series."""
 
+    # reference exposes the running-mean helper as a static method
+    # (amof/elastic/core.py:79-86)
+    cummean = staticmethod(cummean)
+
     def __init__(self):
         self.temperature = None
         self.h = None

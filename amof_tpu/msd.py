@@ -90,6 +90,25 @@ class WindowMsd(Msd):
         msd_class.compute_msd(batch, window, time, parallel, unwrap, origin_policy)
         return msd_class
 
+    @staticmethod
+    def compute_msd_of_m(delta_pos, m):
+        """Windowed MSD(m) by the reference's rolling-sum recurrence
+        (amof/msd.py:186-205) — including its skipped first origin
+        (origin_policy='amof'). Kept as a numpy oracle for the FFT
+        path and for API parity."""
+        delta_pos = np.asarray(delta_pos, dtype=np.float64)
+        n = len(delta_pos)
+        partial = np.zeros(n - m)
+        r_lag = delta_pos[0].copy()
+        r_k = delta_pos[: m + 1].sum(axis=0)
+        for k in range(m + 1, n):
+            r_k = r_k + delta_pos[k]
+            r_lag = r_lag + delta_pos[k - m]
+            partial[k - m] = (
+                np.linalg.norm(r_k - r_lag) ** 2 / len(r_lag)
+            )
+        return float(np.mean(partial))
+
     def compute_msd(self, batch, window, time, parallel=False, unwrap=False,
                     origin_policy="amof"):
         del parallel  # species are computed on device in one pass each
@@ -150,6 +169,19 @@ class DirectMsd(Msd):
         )
         msd_class.compute_msd(batch, step, parallel)
         return msd_class
+
+    def compute_species_msd(self, trajectory, atomic_number=None):
+        """Direct MSD of one species vs frame 0 (parity:
+        amof/msd.py:84-108; orthogonal cells only)."""
+        from amof_tpu.core.frames import as_frame_batch
+
+        batch = as_frame_batch(trajectory)
+        positions = np.asarray(batch.positions)
+        cells = np.asarray(batch.cell)
+        if atomic_number is not None:
+            sel = np.asarray(batch.species) == atomic_number
+            positions = positions[:, sel]
+        return self._species_msd(positions, cells)
 
     @staticmethod
     def _species_msd(positions, cells):

@@ -88,6 +88,22 @@ class Pore:
             self.data = pd.DataFrame(list_of_dict)
 
     @staticmethod
+    def read_zeopp(filename):
+        """Parse a Zeo++ ``.sa``/``.vol`` output file's first line into
+        a {field: value} dict (parity: amof/pore/core.py:70-82) —
+        interop for stored outputs of the external binary; the
+        in-process path returns such dicts directly."""
+        import re
+
+        with open(filename) as f:
+            first_line = f.readline().strip("\n")
+        tokens = re.split(r" +", first_line.strip())
+        tokens = tokens[6:]  # drop file name, density, unit-cell volume
+        keys = [t.strip(":") for t in tokens[::2]]
+        values = [float(t) for t in tokens[1::2]]
+        return dict(zip(keys, values))
+
+    @staticmethod
     def get_surface_volume(frame, step, **kwargs):
         """Analyze one frame; None on failure (frame dropped, parity with
         the reference's timeout handling)."""

@@ -281,6 +281,43 @@ class Ring:
                 ring_arr = None
         return ring_arr, report_search
 
+    def read_rings_output(self, rstat_path):
+        """Parse a RINGS ``rstat`` output directory into the same
+        (DataArray, potentially_undiscovered_rings) pair the in-process
+        search produces (parity: amof/ring/core.py:151-175): primitive
+        rings from ``RINGS-res-5.dat`` (literal header names normalized
+        to RING_VARS), undiscovered-ring diagnostic from the
+        ``RINGS-res-3.dat`` header. Interop for stored outputs of the
+        external Fortran binary."""
+        import pathlib
+        import re
+
+        import pandas as pd
+
+        rstat_path = pathlib.Path(rstat_path)
+        with open(rstat_path / "RINGS-res-3.dat") as f:
+            first_line = f.readline()
+        match = re.search(
+            r"# Number of rings with n >\s*(.*) nodes which potentialy "
+            r"exist:\s*(.*)", first_line, re.M | re.I,
+        )
+        potentially_undiscovered = round(float(match.group(2)))
+
+        df = pd.read_csv(
+            rstat_path / "RINGS-res-5.dat", header=1, escapechar="#",
+            sep=r"\s+",
+        )
+        df = df.set_index(df.columns[0])
+        arr = labeled.DataArray(
+            df.to_numpy(),
+            coords=[
+                ("ring_size", df.index.to_numpy().astype(np.int64)),
+                ("ring_var",
+                 [normalize_ring_var(str(c).strip()) for c in df.columns]),
+            ],
+        )
+        return arr, potentially_undiscovered
+
     def write_to_file(self, filename):
         self.data.to_netcdf(ampath.append_suffix(filename, "ring"))
         self.report_search.to_csv(
