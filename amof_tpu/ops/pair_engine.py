@@ -235,7 +235,9 @@ def frame_rdf_counts(
 
         return pallas_rdf_counts_blocked(
             positions, cell, species_idx, dr, n_species, bins,
-            ti=256, tj=_pick_chunk(n, 512), g=32,
+            # tj=256 allows 256-atom species blocks (less pad) and
+            # g=64 fattens the one-hot dots: ~5% over (512, 32)
+            ti=256, tj=_pick_chunk(n, 256), g=64,
         )
     return _frame_rdf_counts_xla(
         positions, cell, species_idx, dr,

@@ -288,7 +288,7 @@ class FusedAnalysis:
             # to tile-aligned blocks would inflate the pair count
             from amof_tpu.ops import pallas_rdf
 
-            block = int(np.lcm(512, pad_multiple))
+            block = int(np.lcm(256, pad_multiple))
             perm, sp_l = pallas_rdf.species_block_layout(
                 z_to_idx[species], block=block, total_multiple=block
             )

@@ -123,7 +123,7 @@ class Rdf:
             from amof_tpu.ops import pallas_rdf
 
             perm, sp_l = pallas_rdf.species_block_layout(
-                z_to_idx[species], block=512, total_multiple=512
+                z_to_idx[species], block=256, total_multiple=256
             )
             if len(sp_l) <= 1.5 * len(species):
                 positions = pallas_rdf.apply_atom_layout(

@@ -124,6 +124,10 @@ CLASS_METHODS = {
     ("amof_tpu.trajectory", "ReducedTrajectory"): [
         "from_file", "write_to_file", "sample",
     ],
+    ("amof_tpu.trajectory", "Trajectory"): [
+        "from_traj", "from_lammps_data", "get_index_closest", "set_cell",
+        "get_traj",
+    ],
 }
 
 # Reference surface deliberately NOT mirrored, with the reason:
