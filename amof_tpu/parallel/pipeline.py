@@ -374,8 +374,10 @@ class FusedAnalysis:
             import logging
 
             logging.getLogger(__name__).warning(
-                "BAD neighbor table overflow: some atom has more than "
-                "max_neighbors=%d neighbors within cutoff; angles were "
-                "dropped. Increase max_neighbors.", self.max_neighbors,
+                "BAD neighbor table flag: some atom exceeded "
+                "max_neighbors=%d within cutoff, OR the sorted window "
+                "(%s) failed its coverage check; angles were dropped. "
+                "Raise max_neighbors, or widen/disable bad_window.",
+                self.max_neighbors, self.bad_window,
             )
         return out, meta

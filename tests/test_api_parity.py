@@ -38,10 +38,10 @@ MODULE_SYMBOLS = {
         "ElasticConstant", "MechanicalProperties", "print_Cmat",
     ]),
     "elastic.elate": ("amof_tpu.elastic.elate", ["Elastic", "ElasticOrtho"]),
-    "files.cp2k": ("amof_tpu.io.cp2k", [
+    "files.cp2k": ("amof_tpu.files.cp2k", [
         "clean_xyz", "clean_tabular", "read_tabular",
     ]),
-    "files.lammps": ("amof_tpu.io.lammps", ["remove_duplicate_timesteps"]),
+    "files.lammps": ("amof_tpu.files.lammps", ["remove_duplicate_timesteps"]),
     "files.molsys": ("amof_tpu.files.molsys", ["DummyMol", "write_mfpx"]),
     "files.operation": ("amof_tpu.files.operation", [
         "compress", "decompress", "concatenate",
@@ -50,7 +50,7 @@ MODULE_SYMBOLS = {
     "msd": ("amof_tpu.msd", ["Msd", "DirectMsd", "WindowMsd"]),
     "plot": ("amof_tpu.plot", ["save_hvplot"]),
     "pore.core": ("amof_tpu.pore.core", ["Pore"]),
-    "pore.pysimmzeopp": ("amof_tpu.pore.zeopp", ["network"]),
+    "pore.pysimmzeopp": ("amof_tpu.pore.pysimmzeopp", ["network"]),
     "rdf": ("amof_tpu.rdf", [
         "Rdf", "CoordinationNumber", "get_coordination_number",
         "RdfPlotter",
