@@ -422,23 +422,23 @@ class TestSegmentedMxuHistogram:
         from amof_tpu.ops import bad_kernel
 
         rng = np.random.default_rng(1)
-        n, box = 128, 9.0
+        n, box = 96, 8.5
         pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
         cell = np.eye(3, dtype=np.float32) * box
         sp = rng.integers(0, 4, n).astype(np.int32)
         cut = np.full((4, 4), 2.6, np.float32)
-        # fine bins push 4*4*(40+1)*3601 slots ~ 2.4M > 640k: segmented
+        # fine bins push 4*4*(24+1)*3601 slots ~ 1.4M > 640k: segmented
         big = bad_kernel.frame_bad_counts(
-            pos, cell, sp, cut, 4, 0.05, 3601, max_neighbors=40,
-            chunk=64, by_cn=True,
+            pos, cell, sp, cut, 4, 0.05, 3601, max_neighbors=24,
+            chunk=32, by_cn=True,
         )
         conc_b, any_b, ovf_b = (np.asarray(v) for v in big)
         assert not ovf_b
         # coarse bins keep the space under one segment: same geometry,
         # totals per (a, b, cn) must match exactly
         small = bad_kernel.frame_bad_counts(
-            pos, cell, sp, cut, 4, 1.0, 181, max_neighbors=40,
-            chunk=64, by_cn=True,
+            pos, cell, sp, cut, 4, 1.0, 181, max_neighbors=24,
+            chunk=32, by_cn=True,
         )
         conc_s, any_s, ovf_s = (np.asarray(v) for v in small)
         np.testing.assert_array_equal(

@@ -553,7 +553,7 @@ class TestMcVolume:
     MC points, connectivity from a possibly-coarse grid) agrees with
     the deterministic grid integration."""
 
-    def _batch(self, n_frames=2):
+    def _batch(self, n_frames=1):
         from amof_tpu.core.frames import FrameBatch
 
         rng = np.random.default_rng(7)
@@ -570,10 +570,10 @@ class TestMcVolume:
 
         batch = self._batch()
         grid_rec, _ = BatchedPore(
-            resolution=0.2, vol_method="grid"
+            resolution=0.28, vol_method="grid"
         ).run(batch)
         mc_rec, _ = BatchedPore(
-            resolution=0.2, vol_method="mc", num_samples=60000
+            resolution=0.28, vol_method="mc", num_samples=60000
         ).run(batch)
         for g, m in zip(grid_rec, mc_rec):
             tot_g = g["AV_A^3"] + g["NAV_A^3"]
@@ -586,10 +586,10 @@ class TestMcVolume:
         from amof_tpu.pore.batch import BatchedPore
 
         batch = self._batch(1)
-        fine, _ = BatchedPore(resolution=0.2, vol_method="mc",
+        fine, _ = BatchedPore(resolution=0.3, vol_method="mc",
                               num_samples=60000).run(batch)
         coarse, _ = BatchedPore(
-            resolution=0.2, conn_resolution=0.4, vol_method="mc",
+            resolution=0.3, conn_resolution=0.6, vol_method="mc",
             num_samples=60000,
         ).run(batch)
         tot_f = fine[0]["AV_A^3"] + fine[0]["NAV_A^3"]

@@ -60,19 +60,26 @@ class TestTrajectoryScale:
     @pytest.fixture(scope="class")
     def per_frame_f64(self, batch):
         """f64 oracle: per-frame counts (integer-exact) summed in f64."""
+        import jax
+
         species_idx = np.array(
             [{6: 0, 7: 1, 30: 2}[z] for z in np.asarray(batch.species)],
             np.int32,
         )
-        counts = []
-        for f in range(N_FRAMES):
-            c = np.asarray(pair_engine.frame_rdf_counts(
-                batch.positions[f], batch.cell[f], species_idx,
-                2.0, 3, 4, chunk=64, method="scatter",
-            ))
-            assert float(c.max()) < 2**24  # per-frame counts stay exact
-            counts.append(c.astype(np.float64))
-        return species_idx, np.stack(counts)
+        # one device call for all frames (a python loop of per-frame
+        # dispatches dominated this suite's runtime)
+        per_frame = jax.jit(lambda ps, cs: jax.lax.map(
+            lambda args: pair_engine.frame_rdf_counts(
+                args[0], args[1], species_idx, 2.0, 3, 4, chunk=64,
+                method="scatter",
+            ),
+            (ps, cs),
+        ))
+        counts = np.asarray(
+            per_frame(batch.positions, batch.cell), dtype=np.float64
+        )
+        assert float(counts.max()) < 2**24  # per-frame counts stay exact
+        return species_idx, counts
 
     def test_unweighted_counts_exact(self, batch, per_frame_f64):
         species_idx, counts = per_frame_f64
