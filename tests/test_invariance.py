@@ -89,3 +89,19 @@ class TestInvariance:
             perm[idx] = rng.permutation(idx)
         permuted = batch._replace(positions=batch.positions[:, perm])
         _assert_same(base, _run(permuted), "within-species permutation")
+
+
+def test_rigid_rotation():
+    """Rotating positions AND cell by one orthogonal matrix preserves
+    every distance, so all histograms must match (no kernel may assume
+    axis-aligned or upper-triangular cells)."""
+    rng = np.random.default_rng(3)
+    batch = _batch(rng, triclinic=True)
+    base = _run(batch)
+    # random rotation via QR of a gaussian matrix
+    q, r = np.linalg.qr(rng.standard_normal((3, 3)))
+    q = (q * np.sign(np.diag(r))).astype(np.float32)  # det +1-ish, orthogonal
+    rotated = batch._replace(
+        positions=batch.positions @ q, cell=batch.cell @ q
+    )
+    _assert_same(base, _run(rotated), "rigid rotation")
