@@ -17,7 +17,7 @@ files written here remain readable by xarray and vice versa.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 from scipy.io import netcdf_file

@@ -23,7 +23,6 @@ count (excess devices shard atoms), so any frame count runs anywhere.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional
 
 import jax

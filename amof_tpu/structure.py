@@ -9,7 +9,6 @@ implemented on amof_tpu Frames instead of pymatgen structures.
 
 from __future__ import annotations
 
-import numpy as np
 
 from amof_tpu.core import cellmath
 
