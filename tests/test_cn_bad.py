@@ -446,3 +446,64 @@ class TestSegmentedMxuHistogram:
         )
         np.testing.assert_array_equal(any_b.sum(axis=-1), any_s.sum(axis=-1))
         assert conc_b.sum() > 0
+
+
+class TestCellListNeighbors:
+    """The O(N) cell-list host search returns the exact pair SET of the
+    image-enumerating path (order may differ)."""
+
+    @staticmethod
+    def _as_set(out):
+        i, j, d, s = out
+        return {
+            (int(a), int(b), tuple(int(v) for v in sh), round(float(dd), 9))
+            for a, b, dd, sh in zip(i, j, d, s)
+        }
+
+    @pytest.mark.parametrize("seed,n,box", [(0, 400, 14.0), (1, 700, 17.0)])
+    def test_matches_legacy(self, seed, n, box):
+        from amof_tpu.ops import neighbors_host as nh
+
+        rng = np.random.default_rng(seed)
+        cell = np.eye(3) * box
+        cell[1, 0] = 1.5  # triclinic
+        frac = rng.random((n, 3))
+        pos = frac @ cell  # home cell: both paths see every image
+        legacy = nh.neighbor_pairs(pos, cell, True, 3.1, _force="legacy")
+        fast = nh.neighbor_pairs(pos, cell, True, 3.1, _force="celllist")
+        assert self._as_set(legacy) == self._as_set(fast)
+        assert len(legacy[0]) > 0
+
+    def test_raw_positions_superset(self):
+        """With positions far outside the home cell the legacy image
+        enumeration (sized from the cutoff only) MISSES genuine pairs;
+        the cell list wraps per atom and finds a superset."""
+        from amof_tpu.ops import neighbors_host as nh
+
+        rng = np.random.default_rng(0)
+        n, box = 400, 14.0
+        cell = np.eye(3) * box
+        pos = rng.uniform(-box, 2 * box, (n, 3))
+        legacy = self._as_set(
+            nh.neighbor_pairs(pos, cell, True, 3.1, _force="legacy")
+        )
+        fast = self._as_set(
+            nh.neighbor_pairs(pos, cell, True, 3.1, _force="celllist")
+        )
+        assert legacy <= fast and len(fast) > len(legacy)
+
+    def test_matches_legacy_cutoff_matrix(self):
+        from amof_tpu.ops import neighbors_host as nh
+
+        rng = np.random.default_rng(2)
+        n, box = 500, 15.0
+        cell = np.eye(3) * box
+        pos = rng.uniform(0, box, (n, 3))
+        sp = rng.integers(0, 3, n)
+        cm = np.array([[2.0, 2.8, 0.0], [2.8, 1.5, 2.2], [0.0, 2.2, 3.0]])
+        legacy = nh.neighbor_pairs(pos, cell, True, cm, species=sp,
+                                   _force="legacy")
+        fast = nh.neighbor_pairs(pos, cell, True, cm, species=sp,
+                                 _force="celllist")
+        assert self._as_set(legacy) == self._as_set(fast)
+        assert len(legacy[0]) > 0
