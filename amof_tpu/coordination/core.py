@@ -85,6 +85,10 @@ class CoordinationSearch:
         all_neighb = [[] for _ in range(len(self.frame))]
         for i, j, d in zip(i_idx, j_idx, dists):
             all_neighb[i].append(Neighbor(int(j), float(d)))
+        # deterministic regardless of the pair-search backend's output
+        # order: greedy tie-breaks downstream must not depend on it
+        for lst in all_neighb:
+            lst.sort(key=lambda nb: (nb.nn_distance, nb.index))
         return all_neighb
 
     # -- fragment bookkeeping --------------------------------------------------
