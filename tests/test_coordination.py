@@ -261,3 +261,27 @@ class TestMetalmIm:
         assert syms.count("Zn") == 1
         assert syms.count(rt.symbols.get_symbol("mIm")) == 1
         assert bool(rs["H perfectly connected"].iloc[0])
+
+
+class TestSupercellScale:
+    def test_2x2x2_supercell_reduction(self, zif4_frame):
+        """The cell-list neighbor path (n >= 1500) must reproduce the
+        crystal's building-unit census on a 2176-atom ZIF-4 supercell:
+        8 cells x (16 Zn + 32 Im) = 384 coarse-grained nodes."""
+        import amof_tpu.coordination.reduce as amred
+        from amof_tpu.core.frames import Frame
+
+        f = zif4_frame
+        pos, nums = [], []
+        for i in range(2):
+            for j in range(2):
+                for k in range(2):
+                    shift = i * f.cell[0] + j * f.cell[1] + k * f.cell[2]
+                    pos.append(f.positions + shift)
+                    nums.append(f.numbers)
+        big = Frame(np.concatenate(pos), np.concatenate(nums), f.cell * 2)
+        rt = amred.reduce_trajectory([big], "ZIF-4", write_to_file=False)
+        assert bool(rt.report_search["in_reduced_trajectory"].iloc[0])
+        assert len(rt.trajectory[0]) == 8 * 48
+        symbols = rt.trajectory[0].get_chemical_symbols()
+        assert symbols.count("Zn") == 8 * 16
