@@ -206,7 +206,7 @@ def main():
     vs_baseline = frames_per_sec / (baseline_per_chip * n_chips)
 
     print(json.dumps({
-        "metric": f"frames/sec {analyses}, 10k-atom amorphous ZIF",
+        "metric": f"frames/sec {analyses}, {args.atoms}-atom amorphous ZIF",
         "value": round(frames_per_sec, 3),
         "unit": "frames/sec",
         "vs_baseline": round(vs_baseline, 4),
