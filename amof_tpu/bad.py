@@ -95,14 +95,39 @@ def _compute_counts(batch, nb_set_and_cutoff, dtheta, by_cn=False):
     cells = np.asarray(batch.cell)
     n_species = len(unique)
 
+    # sorted-window neighbor table when the cutoffs are small next to
+    # the box (same auto-sizing as the fused pipeline); a window miss
+    # sets the overflow flag, and the retry loop below then falls back
+    # to the full table
+    n_pad = positions.shape[1]
+    window = None
+    rc = float(cutoff_matrix.max())
+    if n_pad >= 2048 and rc > 0:
+        c64 = cells.astype(np.float64)
+        bxc = np.cross(c64[:, 1], c64[:, 2])
+        w0 = float(
+            (np.abs(np.einsum("fi,fi->f", c64[:, 0], bxc))
+             / np.linalg.norm(bxc, axis=1)).min()
+        )
+        est = 1.6 * n_pad * 2.0 * rc / max(w0, 1e-9) + 64
+        window = int(-(-est // 128) * 128)
+        if chunk + 2 * window >= n_pad:
+            window = None
+
     max_neighbors = 16
     while True:
         conc, center_any, overflow = bad_kernel.trajectory_bad_counts(
             positions, cells, species_idx, cutoff_matrix, n_species,
             float(dtheta), n_hist_bins, max_neighbors, chunk, by_cn=by_cn,
+            window=window,
         )
         if not bool(overflow):
             break
+        if window is not None:
+            # could be a window miss rather than capacity: drop the
+            # window first, then grow capacity
+            window = None
+            continue
         max_neighbors *= 2
         if max_neighbors > _MAX_NEIGHBOR_CAPACITY:
             raise RuntimeError(

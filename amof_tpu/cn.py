@@ -16,6 +16,7 @@ device.
 
 from __future__ import annotations
 
+import functools
 import logging
 
 import jax
@@ -43,6 +44,34 @@ def _cutoff_matrix_for_species(nb_set_and_cutoff, unique, z_to_idx):
         mat[ia, ib] = cutoff
         mat[ib, ia] = cutoff
     return mat
+
+
+@functools.partial(jax.jit, static_argnames=("n_species", "chunk"))
+def _trajectory_cn_counts(positions, cells, species_idx, cutoff_matrix,
+                          n_species, chunk):
+    """One jitted program for the whole trajectory: eager lax.map costs
+    ~50x in per-op dispatch on remote-tunnel TPU backends (measured)."""
+    def one(args):
+        pos, cell = args
+        return pair_engine.frame_cn_counts(
+            pos, cell, species_idx, cutoff_matrix, n_species, chunk
+        )
+
+    return jax.lax.map(one, (positions, cells))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_species", "chunk", "window")
+)
+def _trajectory_cn_counts_windowed(positions, cells, species_idx,
+                                   cutoff_matrix, n_species, chunk, window):
+    def one(args):
+        return pair_engine.frame_cn_counts_windowed(
+            args[0], args[1], species_idx, cutoff_matrix, n_species,
+            chunk, window,
+        )
+
+    return jax.lax.map(one, (positions, cells))
 
 
 class CoordinationNumber:
@@ -84,16 +113,45 @@ class CoordinationNumber:
             np.asarray(batch.positions), z_to_idx[species]
         )
         chunk = pair_engine._pick_chunk(positions.shape[1])
+        cells = np.asarray(batch.cell)
 
-        def one(args):
-            pos, cell = args
-            return pair_engine.frame_cn_counts(
-                pos, cell, species_idx, cutoff_matrix, n_species, chunk
+        # sorted-window pass (O(N*W)) when the cutoffs are small next to
+        # the box; exact per-frame miss flags fall back to the O(N^2)
+        # pass. CPU only: the windowed chunk loop's candidate reduction
+        # wins there, while on TPU the full tiled pass is faster
+        # (measured 6.4 vs 12.7 ms/frame at 10k atoms)
+        n_pad = positions.shape[1]
+        window = None
+        rc = float(cutoff_matrix.max())
+        if n_pad >= 2048 and rc > 0 and jax.default_backend() == "cpu":
+            c64 = cells.astype(np.float64)
+            bxc = np.cross(c64[:, 1], c64[:, 2])
+            w0 = float(
+                (np.abs(np.einsum("fi,fi->f", c64[:, 0], bxc))
+                 / np.linalg.norm(bxc, axis=1)).min()
             )
+            est = 1.6 * n_pad * 2.0 * rc / max(w0, 1e-9) + 64
+            window = int(-(-est // 128) * 128)
+            if chunk + 2 * window >= n_pad:
+                window = None
 
-        counts = np.asarray(
-            jax.lax.map(one, (positions, np.asarray(batch.cell)))
-        )  # [F, S, S]
+        if window is not None:
+            cn_w, missed = _trajectory_cn_counts_windowed(
+                positions, cells, species_idx, cutoff_matrix, n_species,
+                chunk, window,
+            )
+            counts = np.asarray(cn_w)
+            missed = np.asarray(missed)
+            for f in np.nonzero(missed)[0]:
+                counts[f] = np.asarray(pair_engine.frame_cn_counts(
+                    positions[f], cells[f], species_idx, cutoff_matrix,
+                    n_species, chunk,
+                ))
+        else:
+            counts = np.asarray(_trajectory_cn_counts(
+                positions, cells, species_idx, cutoff_matrix, n_species,
+                chunk,
+            ))
 
         n_per_species = np.array(
             [(species == z).sum() for z in unique], dtype=np.float64

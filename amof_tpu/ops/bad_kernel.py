@@ -250,6 +250,12 @@ def select_spec_counts(concrete, center_any, spec: Tuple[int, int]):
     return center_any.sum(axis=0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_species", "bins", "max_neighbors", "chunk", "by_cn", "window",
+    ),
+)
 def trajectory_bad_counts(
     positions,  # [F, N, 3]
     cells,  # [F, 3, 3]
@@ -263,7 +269,10 @@ def trajectory_bad_counts(
     by_cn=False,
     window=None,
 ):
-    """Accumulate over frames; returns (concrete, center_any, overflow)."""
+    """Accumulate over frames; returns (concrete, center_any, overflow).
+
+    Jitted as a whole: an eager lax.map costs ~50x in per-op dispatch
+    on remote-tunnel TPU backends (measured; see CLAUDE.md)."""
 
     def one(args):
         pos, cell = args

@@ -307,6 +307,10 @@ def _frame_rdf_counts_xla(
     return half + half.transpose(1, 0, 2)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_species", "bins", "chunk", "method"),
+)
 def trajectory_rdf_counts(
     positions,  # [F, N, 3]
     cells,  # [F, 3, 3]
@@ -318,7 +322,10 @@ def trajectory_rdf_counts(
     method: str = None,
     frame_weights=None,  # [F] optional per-frame weight (e.g. volume)
 ):
-    """Accumulate (optionally weighted) RDF counts over all frames."""
+    """Accumulate (optionally weighted) RDF counts over all frames.
+
+    Jitted as a whole: an eager lax.scan costs ~50x in per-op dispatch
+    on remote-tunnel TPU backends (measured; see CLAUDE.md)."""
     method = method or default_histogram_method()
     n = positions.shape[1]
     chunk = chunk or _pick_chunk(n)
@@ -486,6 +493,29 @@ def frame_neighbor_payload_table(
     return nbr_pos, nbr_sp, jnp.minimum(nbr_cnt, max_neighbors), overflow
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_species", "chunk", "window")
+)
+def frame_cn_counts_windowed(
+    positions,  # [N, 3] (padded)
+    cell,
+    species_idx,  # [N]
+    cutoff_matrix,  # [S, S]
+    n_species: int,
+    chunk: int = 256,
+    window: int = 1024,
+):
+    """CN counts via the sorted-window pass: O(N*W) instead of the
+    O(N^2) ``frame_cn_counts``. Returns (cn f32[S, S], missed bool[]);
+    on a window miss the caller falls back to the full pass.
+    """
+    out = frame_neighbor_payload_table_sorted(
+        positions, cell, species_idx, cutoff_matrix, max_neighbors=1,
+        chunk=chunk, window=window, emit_cn=True, counts_only=True,
+    )
+    return out[6], out[3]
+
+
 def frame_neighbor_payload_table_sorted(
     positions,  # [N, 3] (padded)
     cell,
@@ -498,9 +528,15 @@ def frame_neighbor_payload_table_sorted(
     n_i: int = None,
     emit_cn: bool = False,
     impl: str = "xla",
+    counts_only: bool = False,
 ):
     """Sorted-window neighbor table: the bandwidth-cheap variant of
     ``frame_neighbor_payload_table``.
+
+    ``counts_only`` skips the K-slot compaction entirely (table outputs
+    are zeros) and the returned flag covers ONLY the window-coverage
+    check — the mode behind ``frame_cn_counts_windowed``, where the
+    per-pair counts (emit_cn) are the whole product.
 
     The K-slot compaction of the full table makes ~7 masked passes over a
     [chunk, N] workspace per slot — HBM-bound at ~45 ms/frame for 10k
@@ -556,7 +592,7 @@ def frame_neighbor_payload_table_sorted(
     n_species = cutoff_matrix.shape[0]
     width = chunk + 2 * window
     use_pallas = (
-        impl == "pallas"
+        impl == "pallas" and not counts_only
         and isinstance(i_start, int) and i_start == 0 and n_i == n
         and chunk % 128 == 0 and window % 128 == 0
         and 1 + 4 * max_neighbors <= 128
@@ -657,6 +693,13 @@ def frame_neighbor_payload_table_sorted(
         else:
             cn = jnp.zeros((n_species, n_species), jnp.float32)
 
+        if counts_only:
+            return (
+                jnp.zeros((chunk, max_neighbors, 3), jnp.float32),
+                jnp.full((chunk, max_neighbors), -1, jnp.int32),
+                cnt_win, cn,
+            )
+
         score = jnp.where(valid, col, width)
         pos_cols, sp_cols = [], []
         for _ in range(max_neighbors):
@@ -711,7 +754,10 @@ def frame_neighbor_payload_table_sorted(
         nbr_sp = nbr_sp.reshape(n_i, k)
         nbr_cnt = nbr_cnt.reshape(n_i)
         cn = jnp.sum(cn, axis=0)
-    flag = win_missed | jnp.any(nbr_cnt > max_neighbors)
+    flag = (
+        win_missed if counts_only
+        else win_missed | jnp.any(nbr_cnt > max_neighbors)
+    )
     center_pos = jax.lax.dynamic_slice(pos_s, (i_start, 0), (n_i, 3))
     out = (
         nbr_pos, nbr_sp, jnp.minimum(nbr_cnt, max_neighbors), flag,
