@@ -710,3 +710,27 @@ class TestBatchedPoreMesh:
         for a, b in zip(r1, r8):
             for key in ("AV_A^3", "NAV_A^3", "ASA_A^2", "NASA_A^2"):
                 assert a[key] == pytest.approx(b[key], rel=1e-5), key
+
+
+class TestMcAnalytic:
+    def test_single_atom_mc_volume(self):
+        """MC -vol on one atom in an open box: total probe-fit volume
+        has the closed form V - 4/3 pi (R + probe)^3."""
+        from amof_tpu.core.frames import FrameBatch
+        from amof_tpu.data import elements
+        from amof_tpu.pore.batch import BatchedPore
+
+        box = 14.0
+        batch = FrameBatch(
+            np.full((1, 1, 3), box / 2, np.float32),
+            (np.eye(3, dtype=np.float32) * box)[None],
+            np.array([18], np.int32), np.zeros(1, np.int32),
+        )
+        rec, _ = BatchedPore(
+            vol_method="mc", num_samples=200000, resolution=0.3
+        ).run(batch)
+        r_ar = elements.vdw_radius_of(18)
+        exact = box**3 - 4.0 / 3.0 * np.pi * (r_ar + 1.2) ** 3
+        total = rec[0]["AV_A^3"] + rec[0]["NAV_A^3"]
+        # MC rel error ~ sqrt(p(1-p)/M)/p ~ 0.1% at M=200k; allow 1%
+        assert total == pytest.approx(exact, rel=0.01)
