@@ -140,7 +140,9 @@ class CoordinationNumber:
                 positions, cells, species_idx, cutoff_matrix, n_species,
                 chunk, window,
             )
-            counts = np.asarray(cn_w)
+            # np.array (not asarray): numpy views of JAX arrays are
+            # read-only, and missed frames are patched in place below
+            counts = np.array(cn_w)
             missed = np.asarray(missed)
             for f in np.nonzero(missed)[0]:
                 counts[f] = np.asarray(pair_engine.frame_cn_counts(

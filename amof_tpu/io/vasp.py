@@ -56,7 +56,9 @@ def read_poscar(filename) -> Frame:
     numbers, i = _read_species_counts(lines, i)
     if lines[i].lstrip()[:1].lower() == "s":  # Selective dynamics
         i += 1
-    direct = lines[i].lstrip()[:1].lower() in ("d",)
+    # VASP semantics: Cartesian only when the line starts with C/c/K/k;
+    # ANY other marker means Direct (not just 'd')
+    direct = lines[i].lstrip()[:1].lower() not in ("c", "k")
     i += 1
     coords = np.array([
         np.fromstring(lines[i + k], sep=" ")[:3] for k in range(len(numbers))

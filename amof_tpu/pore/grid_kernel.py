@@ -526,13 +526,26 @@ def covering_volume_counts(dist, centers_ok, target, cell, levels, grid):
     Returns i32[len(levels)] counts (monotone non-increasing).
     """
     off_norm = _voxel_offset_norms(cell, grid)
+    n_vox = grid[0] * grid[1] * grid[2]
 
     def per_level(t):
         mask = ((dist >= t) & centers_ok).astype(jnp.float32)
         kern = (off_norm <= t).astype(jnp.float32)
+        # The convolution is integer-valued, so any threshold with
+        # roundoff < 0.5 is exact. The f32 FFT error is dominated by
+        # the DC (mean) product — ~eps * sum(mask) * sum(kern)/n, which
+        # approaches 0.5 at production grids (~220^3, mask sums ~1e6).
+        # Convolving the zero-mean fluctuation and adding the DC term
+        # back in closed form removes that dominant error term; the
+        # residual scales with the fluctuation energy, orders of
+        # magnitude smaller for the near-full/near-empty masks where
+        # the DC error was dangerous.
+        m_sum = jnp.sum(mask)
+        k_sum = jnp.sum(kern)
+        m_mean = m_sum / n_vox
         conv = jnp.fft.irfftn(
-            jnp.fft.rfftn(mask) * jnp.fft.rfftn(kern), s=grid
-        )
+            jnp.fft.rfftn(mask - m_mean) * jnp.fft.rfftn(kern), s=grid
+        ) + m_mean * k_sum
         return jnp.sum((conv > 0.5) & target).astype(jnp.int32)
 
     return jax.lax.map(per_level, jnp.asarray(levels, jnp.float32))

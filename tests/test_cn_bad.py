@@ -554,6 +554,35 @@ class TestWindowedCnClass:
         )
 
 
+class TestCnWindowMissFallback:
+    def test_class_survives_window_miss(self):
+        """CoordinationNumber.from_trajectory on a system engineered to
+        miss the sorted window (all atoms in a thin x-slab of a large
+        box, >= 2048 atoms, CPU backend) must fall back to the exact
+        per-frame pass instead of crashing on a read-only numpy view of
+        the JAX counts array (ADVICE r2, amof_tpu/cn.py)."""
+        from amof_tpu.core.frames import FrameBatch
+
+        rng = np.random.default_rng(11)
+        n, box = 2048, 100.0
+        species = np.concatenate(
+            [np.full(n // 4, 30), np.full(3 * n // 4, 7)]
+        ).astype(np.int32)
+        pos = rng.uniform(0, box, (1, n, 3)).astype(np.float32)
+        pos[..., 0] = rng.uniform(0.48 * box, 0.52 * box, (1, n))
+        cells = np.tile(np.eye(3, dtype=np.float32) * box, (1, 1, 1))
+        batch = FrameBatch(pos, cells, species, np.zeros(1, np.int32))
+        cn = amcn.CoordinationNumber.from_trajectory(batch, {"Zn-N": 2.8})
+        # oracle: brute-force count of N within 2.8 of each Zn
+        d = pos[0, :, None, :] - pos[0, None, :, :]
+        d -= box * np.round(d / box)
+        dist = np.sqrt((d ** 2).sum(-1))
+        zn = species == 30
+        nn = species == 7
+        expect = (dist[zn][:, nn] < 2.8).sum() / zn.sum()
+        np.testing.assert_allclose(cn.data["Zn-N"], expect, rtol=1e-6)
+
+
 class TestBadClassAutoWindow:
     def test_windowed_equals_full_large_system(self):
         """Bad and BadByCn on a >= 2048-atom system (auto-window path)
@@ -583,15 +612,35 @@ class TestBadClassAutoWindow:
             window=None,
         )
         assert not bool(ovf)
-        # class output columns are density-normalized; compare totals
-        # via a second class run with the window disabled through a
-        # huge chunk making the window ineligible
-        bad_full = ambad.Bad.from_trajectory(batch, cut, dtheta=1.0)
-        for col in bad.data.columns:
-            np.testing.assert_allclose(
-                bad.data[col], bad_full.data[col], rtol=1e-6,
-                err_msg=col,
+        # rebuild the class's density-normalized columns from the
+        # window=None oracle counts and compare (this genuinely
+        # verifies the auto-windowed path against the full table; a
+        # second identical class run would compare the windowed run to
+        # itself)
+        pairs, names = ambad._enumerate_specs(cut, unique)
+        specs = [
+            (
+                -1 if a == "X" else int(z_to_idx[a]),
+                -1 if b == "X" else int(z_to_idx[b]),
             )
+            for a, b in pairs
+        ]
+        conc64 = np.asarray(conc, np.float64)
+        any64 = np.asarray(any_, np.float64)
+        checked = 0
+        for s, name in zip(specs, names):
+            hist = np.asarray(
+                bad_kernel.select_spec_counts(conc64, any64, s)
+            ).sum(axis=0)
+            total = hist.sum()
+            if name in bad.data.columns:
+                assert total > 0, name
+                np.testing.assert_allclose(
+                    bad.data[name], hist / (total * 1.0), rtol=1e-6,
+                    err_msg=name,
+                )
+                checked += 1
+        assert checked >= 2
         by_cn = ambad.BadByCn.from_trajectory(batch, cut, dtheta=1.0)
         # empty (triple, cn) groups normalize to NaN by design
         assert float(np.nansum(np.asarray(

@@ -410,6 +410,33 @@ class TestCoveringPsd:
             covered = (dcart[:, centers] <= t).any(axis=1) & aflat
             assert c == covered.sum(), f"level {t}"
 
+    def test_large_grid_roundoff(self):
+        """64^3 regression for FFT roundoff: with a near-full center
+        mask the DC spectral product reaches ~5e8, whose f32 roundoff
+        (~30 counts) dwarfs the 0.5 covered/uncovered margin unless the
+        DC term is handled in closed form (the zero-mean-fluctuation
+        decomposition). Single-atom closed form: for any level t > 0
+        the covered set is exactly {v : |v - atom| >= R}."""
+        box, R = 16.0, 1.5
+        cell = (np.eye(3) * box).astype(np.float32)
+        frac = np.array([[0.5, 0.5, 0.5]], np.float32)
+        radii = np.array([R], np.float32)
+        grid = (64, 64, 64)
+        dist = np.asarray(grid_kernel.distance_grid(frac, cell, radii, grid))
+        ones = np.ones(grid, bool)
+        levels = np.array([1.0, 1.5, 2.0], np.float32)
+        counts = np.asarray(grid_kernel.covering_volume_counts(
+            dist, ones, ones, cell, levels, grid
+        ))
+        # |v - atom| at voxel centers
+        idx = (np.indices(grid).reshape(3, -1).T + 0.5) / np.array(grid)
+        d_atom = np.linalg.norm((idx - frac[0]) @ cell, axis=1)
+        voxel_diag = np.linalg.norm(cell.diagonal() / np.array(grid))
+        lo = (d_atom >= R + 1.5 * voxel_diag).sum()
+        hi = (d_atom >= R - 1.5 * voxel_diag).sum()
+        for t, c in zip(levels, counts):
+            assert lo <= c <= hi, f"level {t}: {c} not in [{lo}, {hi}]"
+
     def test_cumulative_starts_at_av(self, zif4_frame):
         out = zeopp.analyze_frame(
             zif4_frame, vol=True, psd=True, resolution=0.45
