@@ -224,8 +224,82 @@ def _make_step(
     )
 
 
+def _make_msd_block_steps(mesh, n_species: int, origin_policy: str):
+    """Atom-blocked MSD steps for the chunked pipeline (SURVEY §5.7:
+    bound per-chip memory when frames x atoms exceeds HBM).
+
+    The atom block is sharded over EVERY mesh device (both axes), so
+    the time axis arrives complete on each device with NO all_gather —
+    per-chip peak memory is F x A_blk / n_devices x 3 f32, bounded by
+    the caller's block size, instead of the monolithic path's
+    F x A_loc x 3.
+
+    Returns (com_step, msd_step):
+      com_step(pos [F, A_blk, 3], masses [A_blk]) ->
+          (sum_i m_i x_i [F, 3], sum_i m_i [])  — partial COM sums.
+      msd_step(pos, masses, species [A_blk], cells [F, 3, 3],
+               com [F, 3]) -> (msd_sp_sums [F, S], n_sp [S]).
+    """
+    flat = ("frames", "atoms")
+
+    def com_step(positions, masses):
+        s = jax.lax.psum(
+            jnp.sum(positions * masses[None, :, None], axis=1), flat
+        )
+        m = jax.lax.psum(jnp.sum(masses), flat)
+        return s, m
+
+    def msd_step(positions, masses, species_blk, cells, com):
+        x = msd_kernel.unwrap_positions(
+            positions - com[:, None, :], cells
+        )
+        x = x * (masses > 0)[None, :, None]
+        s = msd_kernel.windowed_msd_atom_series(x, origin_policy)
+        oh_sp = (
+            species_blk[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, n_species), 1)
+        ).astype(jnp.float32)
+        sums = jax.lax.psum(
+            jax.lax.dot_general(
+                s, oh_sp,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            ),
+            flat,
+        )
+        n_sp = jax.lax.psum(jnp.sum(oh_sp, axis=0), flat)
+        return sums, n_sp
+
+    com_fn = jax.jit(shard_map(
+        com_step, mesh=mesh,
+        in_specs=(P(None, flat, None), P(flat)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    msd_fn = jax.jit(shard_map(
+        msd_step, mesh=mesh,
+        in_specs=(
+            P(None, flat, None), P(flat), P(flat), P(), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ))
+    return com_fn, msd_fn
+
+
 class FusedAnalysis:
-    """Configurable fused RDF+CN(+BAD)(+MSD) step over a device mesh."""
+    """Configurable fused RDF+CN(+BAD)(+MSD) step over a device mesh.
+
+    ``frames_per_call`` bounds each device dispatch to that many frames
+    per mesh frames-row (host loop + exact f64 accumulation across
+    calls) — REQUIRED at north-star scale: a single dispatch scanning
+    10k frames runs for minutes and trips remote-backend watchdogs
+    (CLAUDE.md dispatch rule; same design as BatchedPore.
+    frames_per_call). MSD then runs as separate atom-blocked dispatches
+    (``msd_atoms_per_call``) with no time-axis gather, bounding per-chip
+    memory at 100k-frame scale (SURVEY §5.7).
+    """
 
     def __init__(
         self,
@@ -240,6 +314,8 @@ class FusedAnalysis:
         chunk: int = 256,
         origin_policy: str = "amof",
         bad_window="auto",
+        frames_per_call: Optional[int] = None,
+        msd_atoms_per_call: Optional[int] = None,
     ):
         self.nb_set_and_cutoff = nb_set_and_cutoff
         self.dr = dr
@@ -255,6 +331,8 @@ class FusedAnalysis:
         # the density and max cutoff; None forces the full O(N^2) table;
         # an int is used as-is. Misses are caught by the overflow flag.
         self.bad_window = bad_window
+        self.frames_per_call = frames_per_call
+        self.msd_atoms_per_call = msd_atoms_per_call
 
     def prepare(self, batch, mesh=None):
         """Resolve static shapes; returns (step_fn, args, meta)."""
@@ -349,12 +427,6 @@ class FusedAnalysis:
         ):
             bad_window = None
 
-        step_fn = _make_step(
-            mesh, n_species, bins, float(self.dr), bad_bins,
-            float(self.dtheta), self.max_neighbors, self.chunk, method,
-            positions.shape[1], self.with_bad, self.with_msd,
-            self.origin_policy, bad_window,
-        )
         args = (
             positions, np.asarray(batch.cell), volumes,
             species_idx, cutoff_matrix, masses,
@@ -363,7 +435,132 @@ class FusedAnalysis:
             "unique": unique, "bins": bins, "rmax": rmax,
             "bad_names": bad_names, "bad_specs": bad_specs, "mesh": mesh,
         }
+
+        if self.frames_per_call is not None:
+            step_fn = self._make_chunked_step(
+                mesh, n_species, bins, bad_bins, method, positions,
+                bad_window, meta,
+            )
+            return step_fn, args, meta
+
+        step_fn = _make_step(
+            mesh, n_species, bins, float(self.dr), bad_bins,
+            float(self.dtheta), self.max_neighbors, self.chunk, method,
+            positions.shape[1], self.with_bad, self.with_msd,
+            self.origin_policy, bad_window,
+        )
         return step_fn, args, meta
+
+    def _make_chunked_step(self, mesh, n_species, bins, bad_bins,
+                           method, positions, bad_window, meta):
+        """Host-looped step: pair stage in <= frames_per_call-frame
+        dispatches (f64 accumulation across calls is exact at any
+        frame count), MSD in atom-blocked dispatches with bounded
+        per-chip memory. Device-resident args are sliced on device —
+        no per-chunk re-upload."""
+        n_frames, n_pad = positions.shape[0], positions.shape[1]
+        f_ax = mesh.shape["frames"]
+        n_dev = f_ax * mesh.shape["atoms"]
+        target = max(self.frames_per_call, 1) * f_ax
+        fpc = f_ax
+        for d in range(min(target, n_frames), f_ax - 1, -f_ax):
+            if n_frames % d == 0:
+                fpc = d
+                break
+        pair_step = _make_step(
+            mesh, n_species, bins, float(self.dr), bad_bins,
+            float(self.dtheta), self.max_neighbors, self.chunk, method,
+            n_pad, self.with_bad, False, self.origin_policy, bad_window,
+        )
+        meta["frames_per_call"] = fpc
+
+        if self.with_msd:
+            com_fn, msd_fn = _make_msd_block_steps(
+                mesh, n_species, self.origin_policy
+            )
+            # atom block: divides the padded atom count, multiple of
+            # the flat device count (the block is sharded over EVERY
+            # device)
+            a_target = self.msd_atoms_per_call or max(
+                n_pad // 8, n_dev
+            )
+            a_blk = n_dev
+            for d in range(
+                min(-(-a_target // n_dev) * n_dev, n_pad),
+                n_dev - 1, -n_dev,
+            ):
+                if n_pad % d == 0:
+                    a_blk = d
+                    break
+            meta["msd_atoms_per_call"] = a_blk
+
+        def chunked_step(positions, cells, volumes, species_idx,
+                         cutoff_matrix, masses):
+            rdf = np.zeros(0)
+            bad_c = bad_a = None
+            cn_parts = []
+            overflow = np.zeros((), bool)
+            for i in range(0, n_frames, fpc):
+                out = pair_step(
+                    positions[i:i + fpc], cells[i:i + fpc],
+                    volumes[i:i + fpc], species_idx, cutoff_matrix,
+                    masses,
+                )
+                if i == 0:
+                    rdf = np.zeros(
+                        np.asarray(out["rdf_counts"]).shape, np.float64
+                    )
+                    bad_c = np.zeros(
+                        np.asarray(out["bad_concrete"]).shape, np.float64
+                    )
+                    bad_a = np.zeros(
+                        np.asarray(out["bad_center_any"]).shape,
+                        np.float64,
+                    )
+                rdf += np.asarray(out["rdf_counts"], np.float64)
+                bad_c += np.asarray(out["bad_concrete"], np.float64)
+                bad_a += np.asarray(out["bad_center_any"], np.float64)
+                cn_parts.append(np.asarray(out["cn_counts"]))
+                overflow = overflow | np.asarray(out["bad_overflow"])
+            result = {
+                "rdf_counts": rdf,
+                "cn_counts": np.concatenate(cn_parts),
+                "bad_concrete": bad_c,
+                "bad_center_any": bad_a,
+                "bad_overflow": overflow,
+            }
+            if self.with_msd:
+                com_s = np.zeros((n_frames, 3), np.float64)
+                com_m = 0.0
+                for b in range(0, n_pad, a_blk):
+                    s, m = com_fn(
+                        positions[:, b:b + a_blk], masses[b:b + a_blk]
+                    )
+                    com_s += np.asarray(s, np.float64)
+                    com_m += float(m)
+                com = (com_s / com_m).astype(positions.dtype)
+                sums = np.zeros((n_frames, n_species), np.float64)
+                n_sp = np.zeros((n_species,), np.float64)
+                for b in range(0, n_pad, a_blk):
+                    s, ns = msd_fn(
+                        positions[:, b:b + a_blk], masses[b:b + a_blk],
+                        species_idx[b:b + a_blk], cells, com,
+                    )
+                    sums += np.asarray(s, np.float64)
+                    n_sp += np.asarray(ns, np.float64)
+                origins = (n_frames - np.arange(n_frames)).astype(
+                    np.float64
+                )
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    msd_sp = sums / (n_sp[None, :] * origins[:, None])
+                    msd = sums.sum(axis=1) / (n_sp.sum() * origins)
+                msd_sp[0] = 0.0
+                msd[0] = 0.0
+                result["msd_species"] = msd_sp.astype(np.float32)
+                result["msd"] = msd.astype(np.float32)
+            return result
+
+        return chunked_step
 
     def run(self, batch, mesh=None) -> Dict[str, np.ndarray]:
         step_fn, args, meta = self.prepare(batch, mesh)

@@ -49,6 +49,82 @@ from amof_tpu.pore.zeopp import (
 logger = logging.getLogger(__name__)
 
 
+def _make_columns_frame_fn(
+    radii,  # f32[N] constant
+    dirs,  # f32[K, 3] constant
+    col_plan: dict,
+    surf_plan: dict,
+    probe: float,
+    chan: float,
+    mc_points=None,  # (pts_tiled f32[T,P,3], weights f32[T,P], n_real)
+):
+    """Per-frame traced function on the sorted-xy-column path:
+    (pos, cell, volume) -> (asa, nasa, av, nav, missed).
+
+    The fast default at production scale: probe-fit masks via
+    ``void_masks_columns`` (full-z column tiles, unwrapped
+    squared-distance threshold tests, no per-pair sqrt), Zeo++ MC
+    -vol points riding the same candidate slices, and surface
+    sampling + void classification fused in
+    ``surface_counts_columns``.
+    """
+    grid = col_plan["grid"]
+    n_vox = grid[0] * grid[1] * grid[2]
+    k = dirs.shape[0]
+
+    def frame_fn(args):
+        pos, cell, volume = args
+        inv_cell = jnp.linalg.inv(cell)
+        frac = matvec3(pos, inv_cell)
+        frac = frac - jnp.floor(frac)
+
+        pts_tiled = None if mc_points is None else mc_points[0]
+        m_probe, m_chan, fit_pts, miss_d = grid_kernel.void_masks_columns(
+            frac, cell, radii, grid, probe=probe, chan=chan,
+            nbx=col_plan["nbx"], nby=col_plan["nby"],
+            window=col_plan["window"], pts_tiled=pts_tiled,
+        )
+        _, accessible, pocket = grid_kernel.void_classification_mask(
+            m_chan
+        )
+        if probe != chan:
+            acc_fit = m_probe & accessible
+            poc_fit = m_probe & ~accessible
+        else:
+            acc_fit, poc_fit = accessible, pocket
+
+        if mc_points is not None:
+            _, w, n_real = mc_points
+            acc_pt = grid_kernel.grid_lookup(accessible, pts_tiled, grid)
+            av = volume * jnp.sum((fit_pts & acc_pt) * w) / n_real
+            nav = volume * jnp.sum((fit_pts & ~acc_pt) * w) / n_real
+        else:
+            voxel_volume = volume / n_vox
+            av = jnp.sum(acc_fit) * voxel_volume
+            nav = jnp.sum(poc_fit) * voxel_volume
+
+        acc_c, nacc_c, gis, rs, miss_s = (
+            grid_kernel.surface_counts_columns(
+                frac, cell, radii, probe, dirs, accessible, pocket,
+                grid, nbx=surf_plan["nbx"], nby=surf_plan["nby"],
+                window=surf_plan["window"], chunk=surf_plan["chunk"],
+                col_cap=surf_plan["col_cap"],
+            )
+        )
+        areas = jnp.where(
+            gis >= 0, 4.0 * np.pi * (rs + probe) ** 2, 0.0
+        )
+        asa = jnp.sum(areas * acc_c) / k
+        nasa = jnp.sum(areas * nacc_c) / k
+        return (
+            asa.astype(jnp.float32), nasa.astype(jnp.float32),
+            av.astype(jnp.float32), nav.astype(jnp.float32),
+            miss_d | miss_s,
+        )
+
+    return frame_fn
+
+
 def _make_frame_fn(
     radii,  # f32[N] constant
     dirs,  # f32[K, 3] constant
@@ -238,11 +314,51 @@ class BatchedPore:
         else:
             grid = tuple(self.grid)
 
+        probe, chan = self.probe_radius, self.chan_radius
+        dmax = max(probe, chan) + 1e-3
+
+        # three-level column path (the fast default): probe-fit masks,
+        # tile-riding MC points, and column surface sampling. Applies
+        # whenever the cell is big enough for >= 4x4 reach-wide
+        # columns and the user did not pin explicit grid dims (the
+        # column plan adjusts dims for tile divisibility).
+        k = max(16, self.num_samples // max(1, n_at))
+        dirs = grid_kernel.fibonacci_sphere(k)
+        col_plan = surf_plan = None
+        if self.grid is None and self.window is not None:
+            col_plan = grid_kernel.xycol_plan(
+                cells, float(radii.max()), dmax, grid, n_at
+            )
+            if col_plan is not None:
+                surf_plan = grid_kernel.surface_plan(
+                    cells, float(radii.max()), probe, n_at
+                )
+        if col_plan is not None and surf_plan is not None:
+            grid = col_plan["grid"]
+            mc_points = None
+            if self.vol_method == "mc":
+                rng = np.random.default_rng(20240817)
+                pts = rng.random((self.num_samples, 3)).astype(np.float32)
+                pts_tiled, w = grid_kernel.assign_points_to_xytiles(
+                    pts, col_plan
+                )
+                mc_points = (
+                    jnp.asarray(pts_tiled), jnp.asarray(w),
+                    float(self.num_samples),
+                )
+            frame_fn = _make_columns_frame_fn(
+                jnp.asarray(radii), jnp.asarray(dirs), col_plan,
+                surf_plan, probe, chan, mc_points=mc_points,
+            )
+            return self._finalize(batch, mesh, frame_fn, grid, {
+                "col_plan": col_plan, "surf_plan": surf_plan, "k": k,
+                "mass_amu": mass_amu, "volumes": volumes,
+                "dist_window": None, "surf_window": None, "dist2": None,
+            })
+
         # sorted-window sizing (static, conservative over frames):
         # same estimates as zeopp.analyze_frame but with the min slab
         # width across the trajectory
-        probe, chan = self.probe_radius, self.chan_radius
-        dmax = max(probe, chan) + 1e-3
         bxc = np.cross(cells[:, 1], cells[:, 2])
         w0 = float(
             (np.abs(np.einsum("fi,fi->f", cells[:, 0], bxc))
@@ -295,12 +411,6 @@ class BatchedPore:
                     if k_slabs * window2 * 2 < dist_window:
                         dist2 = (tvx, tvy, nbx, k_slabs, window2, dya)
 
-        # Zeo++ spreads num_samples MC points across ALL atom spheres
-        # (~5/atom at 10k atoms); 16 deterministic Fibonacci directions
-        # per atom is the accuracy floor here, >= 3x Zeo++'s default
-        k = max(16, self.num_samples // max(1, n_at))
-        dirs = grid_kernel.fibonacci_sphere(k)
-
         mc_samples = None
         if self.vol_method == "mc":
             # one seeded sample set serves every frame (frames are
@@ -325,6 +435,17 @@ class BatchedPore:
             dist_window, dxa, surf_window, mc_samples=mc_samples,
             dist2=dist2,
         )
+        return self._finalize(batch, mesh, frame_fn, grid, {
+            "mass_amu": mass_amu, "volumes": volumes,
+            "dist_window": dist_window, "surf_window": surf_window,
+            "k": k, "dist2": dist2, "col_plan": None, "surf_plan": None,
+        })
+
+    def _finalize(self, batch, mesh, frame_fn, grid, extra_meta):
+        """Shared tail of prepare(): shard-map the per-frame fn over
+        the mesh, chunk dispatches, and assemble (step_fn, args, meta).
+        """
+        volumes = extra_meta["volumes"]
 
         def step(positions, cells_f, volumes_f):
             return jax.lax.map(frame_fn, (positions, cells_f, volumes_f))
@@ -368,10 +489,8 @@ class BatchedPore:
             volumes,
         )
         meta = {
-            "grid": grid, "mesh": mesh, "mass_amu": mass_amu,
-            "volumes": volumes, "dist_window": dist_window,
-            "surf_window": surf_window, "k": k, "frames_per_call": fpc,
-            "dist2": dist2,
+            "grid": grid, "mesh": mesh, "frames_per_call": fpc,
+            **extra_meta,
         }
         return chunked_step, args, meta
 

@@ -55,11 +55,13 @@ class Pore:
 
     def compute_surface_volume(self, frames, step, parallel=False, **kwargs):
         # `parallel` is the reference's joblib toggle (amof/pore/core.py:
-        # 52-61); the TPU-native equivalent — one compiled program mapped
-        # over all frames, sharded over the mesh — is strictly better, so
-        # it is the default whenever the frames batch (static species)
-        # and only -sa/-vol options are requested.
-        del parallel
+        # 52-61). For -sa/-vol-only requests the TPU-native equivalent —
+        # one compiled program mapped over all frames, sharded over the
+        # mesh — is strictly better and is the default; `parallel` then
+        # only governs the per-frame fallback (non-batchable option
+        # sets like psd/chan/ray/block, or batch-path failure), which
+        # fans frames out over a host thread pool with the reference's
+        # worker heuristic.
         logger.info(
             "Start pore analysis for volume and surfaces for %s frames",
             len(frames),
@@ -78,12 +80,19 @@ class Pore:
                     "batched pore path failed; falling back to the "
                     "per-frame path", exc_info=True,
                 )
-        list_of_dict = []
-        for i, frame in enumerate(frames):
-            logger.debug("compute frame # %s out of %s", i + 1, len(frames))
-            dic = self.get_surface_volume(frame, step[i], **kwargs)
-            if dic is not None:
-                list_of_dict.append(dic)
+        from amof_tpu.parallel.host import parallel_map
+
+        results = parallel_map(
+            lambda args: self.get_surface_volume(
+                args[1], step[args[0]], **kwargs
+            ),
+            list(enumerate(frames)),
+            parallel,
+            prefer="threads",  # per-frame work is device dispatch +
+            #                    host numpy/union-find; both release
+            #                    the GIL
+        )
+        list_of_dict = [d for d in results if d is not None]
         if list_of_dict:
             self.data = pd.DataFrame(list_of_dict)
 

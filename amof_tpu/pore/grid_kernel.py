@@ -263,7 +263,11 @@ def winding_seeds(open_labels, mask):
 
 def void_classification(dist, r_probe):
     """(mask, accessible, pocket) voxel masks for a probe radius."""
-    mask = dist >= r_probe
+    return void_classification_mask(dist >= r_probe)
+
+
+def void_classification_mask(mask):
+    """(mask, accessible, pocket) from a precomputed probe-fit mask."""
     open_labels = label_components(mask, periodic=False)
     seeds = winding_seeds(open_labels, mask)
     accessible = propagate_channel(seeds, mask)
@@ -832,8 +836,552 @@ def grid_lookup(field, frac_pts, grid):
 
 
 # --------------------------------------------------------------------------
+# Sorted xy-columns: full-z tile passes for the -sa/-vol hot path
+# --------------------------------------------------------------------------
+#
+# Atoms are bucketed into (nbx, nby) fractional-xy columns sized to the
+# interaction reach and sorted by a column-major key; atoms of the two
+# y-edge column rows are duplicated one row beyond each edge so every
+# 3x3-column neighborhood is THREE CONTIGUOUS RUNS of sorted order (one
+# per x row). A tile is one xy column of voxels over the FULL z extent,
+# so each tile issues only three large dynamic slices — measured on the
+# tunnel TPU, many small per-tile slices are DMA-latency-bound (the
+# (x,y,z)-windowed variant of this kernel spent >90% of its time in
+# ~40k 512-byte slices), while three ~2.5 KB slices per 7k-voxel tile
+# amortize completely. The z axis is handled per pair with a single
+# fractional round (x/y need none after the per-tile unwrap), and all
+# threshold tests compare squared distances — no per-pair sqrt.
+
+
+def _sort_atoms_xycols(frac_atoms, extra, nbx: int, nby: int):
+    """Sort atoms by xy-column with y-edge duplication.
+
+    Column key space is ``bx * (nby + 2) + (by + 1)``: atoms of row
+    by == nby-1 are duplicated at shifted index 0 and atoms of by == 0
+    at shifted index nby+1, so any [by-1, by+1] query inside an x row
+    is one contiguous run — no y-wrap cases.
+
+    Args:
+        frac_atoms: f32[N, 3].
+        extra: list of f32[N] payload columns (radii, indices, ...).
+
+    Returns (keys f32[M], payload f32[3 + len(extra), M]) with
+    M = N + (edge-row duplicates); payload rows are (fx, fy, fz,
+    *extra) — duplicates keep their ORIGINAL coordinates (the per-tile
+    unwrap shifts them by the right lattice vector automatically).
+    """
+    fx = frac_atoms[:, 0] - jnp.floor(frac_atoms[:, 0])
+    fy = frac_atoms[:, 1] - jnp.floor(frac_atoms[:, 1])
+    fz = frac_atoms[:, 2] - jnp.floor(frac_atoms[:, 2])
+    bx = jnp.minimum((fx * nbx).astype(jnp.int32), nbx - 1)
+    by = jnp.minimum((fy * nby).astype(jnp.int32), nby - 1)
+    stride = nby + 2
+    key0 = (bx * stride + by + 1).astype(jnp.float32) + fz
+    # duplicates: by == nby-1 -> shifted 0; by == 0 -> shifted nby+1
+    key_lo = jnp.where(
+        by == nby - 1, (bx * stride).astype(jnp.float32) + fz, 3e9
+    )
+    key_hi = jnp.where(
+        by == 0, (bx * stride + nby + 1).astype(jnp.float32) + fz, 3e9
+    )
+    cols = [fx, fy, fz] + list(extra)
+    keys = jnp.concatenate([key0, key_lo, key_hi])
+    payload = [jnp.concatenate([c, c, c]) for c in cols]
+    out = jax.lax.sort((keys, *payload), dimension=0, num_keys=1)
+    return out[0], jnp.stack(out[1:], axis=0)
+
+
+def xycol_plan(cells, radii_max, dmax, grid_raw, n_atoms):
+    """Static plan for the xy-column mask kernel.
+
+    Returns dict(grid, nbx, nby, window) or None when the cell is too
+    small for >= 4x4 reach-wide columns. Grid x/y dims are rounded so
+    columns tile them exactly (z is unconstrained beyond gz % 4 == 0
+    for the Mosaic flood-fill slabs).
+    """
+    cells = np.asarray(cells, np.float64)
+    if cells.ndim == 2:
+        cells = cells[None]
+    widths = []
+    for a in range(3):
+        b, c = (a + 1) % 3, (a + 2) % 3
+        cr = np.cross(cells[:, b], cells[:, c])
+        v = np.abs(np.einsum("fi,fi->f", cells[:, a], cr))
+        widths.append(float((v / np.linalg.norm(cr, axis=1)).min()))
+    reach = float(dmax + radii_max)
+    nbx = int(widths[0] / reach)
+    nby = int(widths[1] / reach)
+    if nbx < 4 or nby < 4:
+        return None
+
+    def round_axis(g_raw, nb):
+        tv = -(-g_raw // nb)
+        if (nb * tv) % 2:
+            tv += 1
+        return nb * tv, tv
+
+    gx, _ = round_axis(grid_raw[0], nbx)
+    gy, _ = round_axis(grid_raw[1], nby)
+    gz = -(-grid_raw[2] // 4) * 4
+    # slice cap: 3 contiguous columns (plus y-edge duplicates)
+    mean3 = 3.0 * n_atoms / (nbx * nby) * (1.0 + 2.0 / nby)
+    # additive tail margin only: a multiplicative factor on top of the
+    # Poisson term double-counts and inflated candidate work ~15-25%
+    w_est = mean3 + 6.0 * np.sqrt(max(mean3, 1.0)) + 16
+    window = int(-(-w_est // 8) * 8)
+    if 3 * window >= n_atoms:
+        return None
+    return {"grid": (gx, gy, gz), "nbx": nbx, "nby": nby,
+            "window": window}
+
+
+def assign_points_to_xytiles(pts, plan):
+    """Host-side static assignment of sample points to xy-column tiles.
+
+    Returns (pts_tiled f32[nbx*nby, P, 3], weights f32[nbx*nby, P]):
+    P is the exact max tile occupancy; padding slots sit at the tile
+    center with weight 0.
+    """
+    pts = np.asarray(pts, np.float32)
+    nbx, nby = plan["nbx"], plan["nby"]
+    ti = np.minimum((pts[:, 0] * nbx).astype(np.int64), nbx - 1)
+    tj = np.minimum((pts[:, 1] * nby).astype(np.int64), nby - 1)
+    tile = ti * nby + tj
+    n_tiles = nbx * nby
+    counts = np.bincount(tile, minlength=n_tiles)
+    cap = int(counts.max())
+    out = np.empty((n_tiles, cap, 3), np.float32)
+    t_ids = np.arange(n_tiles)
+    out[:, :, 0] = ((t_ids // nby) + 0.5)[:, None] / nbx
+    out[:, :, 1] = ((t_ids % nby) + 0.5)[:, None] / nby
+    out[:, :, 2] = 0.5
+    w = np.zeros((n_tiles, cap), np.float32)
+    order = np.argsort(tile, kind="stable")
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for t in np.nonzero(counts)[0]:
+        sel = order[starts[t]:starts[t + 1]]
+        out[t, :counts[t]] = pts[sel]
+        w[t, :counts[t]] = 1.0
+    return out, w
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "probe", "chan", "nbx", "nby", "window"),
+)
+def void_masks_columns(
+    frac_atoms,  # f32[N, 3], no padding rows
+    cell,
+    radii,  # f32[N]
+    grid,
+    probe: float,
+    chan: float,
+    nbx: int,
+    nby: int,
+    window: int,
+    pts_tiled=None,  # f32[nbx*nby, P, 3] fractional sample points
+):
+    """Probe-fit void masks via sorted xy-columns — the -sa/-vol hot
+    path (reference semantics: amof/pore/pysimmzeopp.py:119-128; the
+    masks are exactly ``distance_grid(...) >= probe/chan`` up to f32
+    rounding of borderline voxels).
+
+    Per tile (one xy voxel column, full z): three contiguous sorted
+    runs cover the 3x3-column candidate neighborhood; candidates are
+    unwrapped into the tile frame (x/y exact by one whole-lattice
+    shift), the z axis minimum-imaged per pair with one fractional
+    round, and every test compares squared distances against
+    per-candidate (R_j + t)^2 — no per-pair sqrt. ``pts_tiled``
+    optionally adds per-tile sample points (Zeo++ -vol MC probes)
+    whose probe-fit flags ride the same candidate slices.
+
+    Returns (mask_probe, mask_chan, fit_pts or None, missed); the
+    missed flag (slice-capacity overflow, exact per-frame check) tells
+    callers to fall back.
+    """
+    gx, gy, gz = grid
+    assert gx % nbx == 0 and gy % nby == 0
+    tvx, tvy = gx // nbx, gy // nby
+    n_tiles = nbx * nby
+    stride = nby + 2
+
+    keys, payload = _sort_atoms_xycols(frac_atoms, [radii], nbx, nby)
+    col_ids = jnp.arange(nbx * stride + 1, dtype=jnp.float32)
+    cstarts = jnp.searchsorted(keys, col_ids)  # [nbx*stride + 1]
+
+    t_ids = np.arange(n_tiles)
+    t_i, t_j = t_ids // nby, t_ids % nby
+    # per (tile, x-row) run start column (shifted-y space): row bx',
+    # columns [tj, tj+3) -> shifted start index tj
+    c0 = (
+        ((t_i[:, None] + np.array([-1, 0, 1])[None, :]) % nbx) * stride
+        + t_j[:, None]
+    )  # [n_tiles, 3]
+    starts = cstarts[jnp.asarray(c0.reshape(-1))].reshape(n_tiles, 3)
+    ends = cstarts[jnp.asarray((c0 + 3).reshape(-1))].reshape(n_tiles, 3)
+    missed = jnp.any((ends - starts) > window)
+    starts = jnp.minimum(starts, keys.shape[0] - window).astype(jnp.int32)
+
+    n_vox_tile = tvx * tvy * gz
+    two_masks = probe != chan
+    thr_hi = float(max(probe, chan))
+    thr_lo = float(min(probe, chan))
+    cell_z = cell[2]  # lattice vector for per-pair z wrapping
+
+    def tile_candidates(tile):
+        """Unwrapped cartesian candidates of one tile, one entry per
+        sorted run (3 slices kept separate: concatenating them
+        materializes [rows, 3W, 3] difference tensors that spill —
+        per-slice [rows, W] working sets stay in VMEM)."""
+        ti = tile // nby
+        tj = tile % nby
+        center = jnp.stack([
+            (ti.astype(jnp.float32) + 0.5) / nbx,
+            (tj.astype(jnp.float32) + 0.5) / nby,
+        ])
+        st = starts[tile]
+        out = []
+        for s in range(3):
+            cand = jax.lax.dynamic_slice(
+                payload, (0, st[s]), (4, window)
+            )
+            cxy = cand[:2] - jnp.round(cand[:2] - center[:, None])
+            cf = jnp.concatenate([cxy, cand[2:3]], axis=0)  # [3, W]
+            out.append((matvec3(cf.T, cell), cf[2], cand[3]))
+        return out
+
+    def masks_of(v, cand_slices):
+        """Masks at fractional rows v [R, 3]: per-axis accumulation
+        against each candidate slice (z minimum-imaged per pair), AND
+        across slices — no [R, W, 3] tensor is ever formed."""
+        v_cart = matvec3(v, cell)
+        m_hi = m_lo = None
+        for c_cart, c_fz, wr in cand_slices:
+            dxc = v_cart[:, 0:1] - c_cart[None, :, 0]
+            dyc = v_cart[:, 1:2] - c_cart[None, :, 1]
+            dzc = v_cart[:, 2:3] - c_cart[None, :, 2]
+            s = jnp.round(v[:, 2:3] - c_fz[None, :])
+            dxc = dxc - s * cell_z[0]
+            dyc = dyc - s * cell_z[1]
+            dzc = dzc - s * cell_z[2]
+            d2 = dxc * dxc + dyc * dyc + dzc * dzc  # [R, W]
+            h = jnp.all(d2 >= ((wr + thr_hi) ** 2)[None, :], axis=1)
+            m_hi = h if m_hi is None else (m_hi & h)
+            if two_masks:
+                lo = jnp.all(
+                    d2 >= ((wr + thr_lo) ** 2)[None, :], axis=1
+                )
+                m_lo = lo if m_lo is None else (m_lo & lo)
+        if not two_masks:
+            m_lo = m_hi
+        return m_hi, m_lo
+
+    # voxel pass: a few tiles per map step, each tile's full voxel set
+    # [tvx*tvy*gz, W] against its per-slice candidates — fat steps:
+    # ~2000 thin steps measured ~10 ms of pure loop overhead, while
+    # per-slice [5.5k, ~190] working sets (~4 MB) stay in VMEM
+    t_batch = next((b for b in (4, 3, 2, 1) if n_tiles % b == 0), 1)
+    r_all = jnp.arange(n_vox_tile, dtype=jnp.int32)
+    lx_all = r_all // (tvy * gz)
+    ly_all = (r_all // gz) % tvy
+    lz_all = (r_all % gz).astype(jnp.float32)
+
+    def tile_masks(tile, pts):
+        ti = tile // nby
+        tj = tile % nby
+        cand_slices = tile_candidates(tile)
+        v = jnp.stack(
+            [
+                ((ti * tvx + lx_all).astype(jnp.float32) + 0.5) / gx,
+                ((tj * tvy + ly_all).astype(jnp.float32) + 0.5) / gy,
+                (lz_all + 0.5) / gz,
+            ],
+            axis=-1,
+        )  # [n_vox_tile, 3]
+        m_hi, m_lo = masks_of(v, cand_slices)
+        if pts is None:
+            return m_hi, m_lo
+        p_hi, p_lo = masks_of(pts, cand_slices)
+        return m_hi, m_lo, (p_hi if probe >= chan else p_lo)
+
+    def tile_step(args):
+        if pts_tiled is None:
+            (t0,) = args
+            outs = [tile_masks(t0 + t, None) for t in range(t_batch)]
+        else:
+            t0, pts_b = args
+            outs = [
+                tile_masks(t0 + t, pts_b[t]) for t in range(t_batch)
+            ]
+        return tuple(jnp.stack(o) for o in zip(*outs))
+
+    t0s = jnp.arange(0, n_tiles, t_batch, dtype=jnp.int32)
+    if pts_tiled is None:
+        m_hi, m_lo = jax.lax.map(tile_step, (t0s,))
+        fit_pts = None
+    else:
+        m_hi, m_lo, fit_pts = jax.lax.map(
+            tile_step,
+            (t0s, pts_tiled.reshape(-1, t_batch, *pts_tiled.shape[1:])),
+        )
+        fit_pts = fit_pts.reshape(n_tiles, -1)
+    m_hi = m_hi.reshape(n_tiles, n_vox_tile)
+    m_lo = m_lo.reshape(n_tiles, n_vox_tile)
+
+    def to_grid(m):
+        g = m.reshape(nbx, nby, tvx, tvy, gz)
+        return g.transpose(0, 2, 1, 3, 4).reshape(gx, gy, gz)
+
+    if probe >= chan:
+        m_probe_t, m_chan_t = m_hi, m_lo
+    else:
+        m_probe_t, m_chan_t = m_lo, m_hi
+    return to_grid(m_probe_t), to_grid(m_chan_t), fit_pts, missed
+
+
+def surface_plan(cells, radii_max, probe, n_atoms, chunk: int = 32):
+    """Static plan for ``surface_counts_columns``: coarse xy columns
+    wide enough for the blocker reach R_i + R_j + 2*probe.
+
+    Returns dict(nbx, nby, window, chunk, col_cap) or None when the
+    cell is too small for >= 3 coarse columns per axis.
+    """
+    cells = np.asarray(cells, np.float64)
+    if cells.ndim == 2:
+        cells = cells[None]
+    widths = []
+    for a in range(3):
+        b, c = (a + 1) % 3, (a + 2) % 3
+        cr = np.cross(cells[:, b], cells[:, c])
+        v = np.abs(np.einsum("fi,fi->f", cells[:, a], cr))
+        widths.append(float((v / np.linalg.norm(cr, axis=1)).min()))
+    reach = float(2.0 * radii_max + 2.0 * probe)
+    nbx = int(widths[0] / reach)
+    nby = int(widths[1] / reach)
+    if nbx < 3 or nby < 3:
+        return None
+    mean3 = 3.0 * n_atoms / (nbx * nby) * (1.0 + 2.0 / nby)
+    # additive tail margin only: a multiplicative factor on top of the
+    # Poisson term double-counts and inflated candidate work ~15-25%
+    w_est = mean3 + 6.0 * np.sqrt(max(mean3, 1.0)) + 16
+    window = int(-(-w_est // 8) * 8)
+    if 3 * window >= n_atoms:
+        return None
+    col_mean = n_atoms / (nbx * nby)
+    cap_est = col_mean + 5.5 * np.sqrt(max(col_mean, 1.0)) + 8
+    col_cap = int(-(-cap_est // chunk) * chunk)
+    return {"nbx": nbx, "nby": nby, "window": window, "chunk": chunk,
+            "col_cap": col_cap}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid", "nbx", "nby", "window", "chunk", "col_cap"),
+)
+def surface_counts_columns(
+    frac_atoms,  # f32[N, 3], no padding rows
+    cell,
+    radii,  # f32[N]
+    r_probe,
+    dirs,  # f32[K, 3] unit vectors
+    accessible,  # bool[Gx, Gy, Gz]
+    pocket,  # bool[Gx, Gy, Gz]
+    grid,
+    nbx: int,
+    nby: int,
+    window: int,
+    chunk: int,
+    col_cap: int,
+):
+    """Per-atom accessible / non-accessible surface-point counts via
+    coarse sorted xy-columns.
+
+    The Zeo++ ASA construction (amof/pore/pysimmzeopp.py:119-125): for
+    each atom i, K points on the sphere of radius R_i + r_probe; a
+    point counts iff it lies outside every OTHER atom's inflated
+    sphere, classified accessible / non-accessible by the void voxel
+    it (or its outward nudge) falls into. Blockers of atom i's points
+    lie within R_i + R_j + 2*r_probe of its center, so coarse columns
+    of that width give every chunk of one column's atoms a 3-slice
+    candidate set — and the void-mask lookups happen inside the same
+    chunked pass (one flat gather over all points serializes on the
+    tunnel TPU).
+
+    Chunks are column-aligned slots (columns exceeding ``col_cap``
+    raise the missed flag, as do 3-column runs over ``window``).
+
+    Returns (acc_counts i32[S], nacc_counts i32[S], orig_idx i32[S],
+    radii f32[S], missed bool[]) in slot order, S = n_cols *
+    ceil(col_cap/chunk) * chunk; padding slots carry orig_idx -1.
+    """
+    n = frac_atoms.shape[0]
+    inv_cell = jnp.linalg.inv(cell)
+    n_cols = nbx * nby
+    stride = nby + 2
+    gvec = jnp.array(grid)
+    cell_z = cell[2]
+    # exclusive void code: 0 wall, 1 accessible, 2 pocket
+    code = accessible.astype(jnp.int8) + 2 * pocket.astype(jnp.int8)
+
+    fx = frac_atoms[:, 0] - jnp.floor(frac_atoms[:, 0])
+    fy = frac_atoms[:, 1] - jnp.floor(frac_atoms[:, 1])
+    fz = frac_atoms[:, 2] - jnp.floor(frac_atoms[:, 2])
+    bx = jnp.minimum((fx * nbx).astype(jnp.int32), nbx - 1)
+    by = jnp.minimum((fy * nby).astype(jnp.int32), nby - 1)
+    gidx = jnp.arange(n, dtype=jnp.float32)
+
+    # centers: originals only, sorted by plain column id
+    key_c = (bx * nby + by).astype(jnp.float32) + fz
+    keys_c, cx, cy, cz, cr, cg = jax.lax.sort(
+        (key_c, fx, fy, fz, radii, gidx), dimension=0, num_keys=1
+    )
+    centers_pl = jnp.stack([cx, cy, cz, cr, cg], axis=0)  # [5, N]
+    c_bounds = jnp.searchsorted(
+        keys_c, jnp.arange(n_cols + 1, dtype=jnp.float32)
+    )
+    c_counts = c_bounds[1:] - c_bounds[:-1]
+    missed = jnp.any(c_counts > col_cap)
+
+    # blockers: y-edge-duplicated column sort (3 contiguous runs per
+    # 3x3 neighborhood), with original indices for self-exclusion
+    keys_b, blockers_pl = _sort_atoms_xycols(
+        frac_atoms, [radii, gidx], nbx, nby
+    )
+    cstarts_b = jnp.searchsorted(
+        keys_b, jnp.arange(nbx * stride + 1, dtype=jnp.float32)
+    )
+
+    n_z = -(-col_cap // chunk)
+    cc = jnp.arange(n_cols * n_z, dtype=jnp.int32) // n_z
+    zi = jnp.arange(n_cols * n_z, dtype=jnp.int32) % n_z
+    natural = (c_bounds[cc] + zi * chunk).astype(jnp.int32)
+    row_end = c_bounds[cc + 1].astype(jnp.int32)
+    row0 = jnp.minimum(natural, jnp.maximum(n - chunk, 0))
+    empty = natural >= row_end
+    valid_lo = jnp.where(empty, jnp.int32(0), natural)
+    valid_hi = jnp.where(empty, jnp.int32(0), row_end)
+
+    cbx, cby = cc // nby, cc % nby
+    b0 = (
+        ((cbx[:, None] + jnp.array([-1, 0, 1])[None, :]) % nbx) * stride
+        + cby[:, None]
+    )  # [C, 3] shifted-y start columns
+    st = cstarts_b[b0.reshape(-1)].reshape(-1, 3)
+    en = cstarts_b[(b0 + 3).reshape(-1)].reshape(-1, 3)
+    missed = missed | jnp.any((en - st) > window)
+    st = jnp.minimum(st, keys_b.shape[0] - window).astype(jnp.int32)
+    uc = jnp.stack(
+        [
+            (cbx.astype(jnp.float32) + 0.5) / nbx,
+            (cby.astype(jnp.float32) + 0.5) / nby,
+        ],
+        axis=1,
+    )  # [C, 2]
+
+    def chunk_counts(args):
+        r0, vlo, vhi, st3, center = args
+        pl = jax.lax.dynamic_slice(centers_pl, (0, r0), (5, chunk))
+        fa = pl[:3].T  # [chunk, 3]
+        ra = pl[3]
+        gi = pl[4]
+        rows = r0 + jnp.arange(chunk, dtype=jnp.int32)
+        live = (rows >= vlo) & (rows < vhi)
+
+        fa_u = jnp.concatenate(
+            [fa[:, :2] - jnp.round(fa[:, :2] - center[None, :]),
+             fa[:, 2:3]],
+            axis=1,
+        )
+        centers_cart = matvec3(fa_u, cell)
+        pts = (
+            centers_cart[:, None, :]
+            + (ra[:, None, None] + r_probe) * dirs[None]
+        ).reshape(chunk * dirs.shape[0], 3)  # [P, 3]
+        fp = matvec3(pts, inv_cell)  # [P, 3]
+        gi_p = jnp.repeat(gi, dirs.shape[0])
+
+        # per-slice, per-axis accumulation: concatenating the three
+        # runs materializes [P, 3W, 3] difference tensors that spill
+        valid = None
+        for s in range(3):
+            cand = jax.lax.dynamic_slice(
+                blockers_pl, (0, st3[s]), (5, window)
+            )
+            wxy = cand[:2] - jnp.round(cand[:2] - center[:, None])
+            wz = cand[2]
+            wr = cand[3]
+            wg = cand[4]
+            w_cart = matvec3(
+                jnp.concatenate([wxy, wz[None]], axis=0).T, cell
+            )  # [W, 3]
+            zshift = jnp.round(fp[:, 2:3] - wz[None, :])  # [P, W]
+            dxc = pts[:, 0:1] - w_cart[None, :, 0] - zshift * cell_z[0]
+            dyc = pts[:, 1:2] - w_cart[None, :, 1] - zshift * cell_z[1]
+            dzc = pts[:, 2:3] - w_cart[None, :, 2] - zshift * cell_z[2]
+            d2 = dxc * dxc + dyc * dyc + dzc * dzc  # [P, W]
+            thr2 = (wr + jnp.float32(r_probe - 1e-4)) ** 2
+            self_m = wg[None, :] == gi_p[:, None]
+            thr2 = jnp.where(self_m, -1.0, thr2[None, :])
+            ok = jnp.all(d2 > thr2, axis=-1)
+            valid = ok if valid is None else (valid & ok)
+        valid = valid.reshape(chunk, dirs.shape[0]) & live[:, None]
+        fp = fp.reshape(chunk, dirs.shape[0], 3)
+
+        # classify by void voxel of the point and of an outward nudge;
+        # accessible and pocket are disjoint, so ONE exclusive i8 code
+        # field serves both — half the gathers (TPU gathers serialize
+        # at ~20 ns/element; they dominate this pass's cost)
+        nudge = fp + matvec3(dirs * 0.2, inv_cell)[None]
+
+        def lookup(fpts):
+            f = fpts - jnp.floor(fpts)
+            idx = jnp.minimum((f * gvec).astype(jnp.int32), gvec - 1)
+            return code[idx[..., 0], idx[..., 1], idx[..., 2]]
+
+        c1 = lookup(fp)
+        c2 = lookup(nudge)
+        acc = (c1 == 1) | (c2 == 1)
+        poc = (c1 == 2) | (c2 == 2)
+        acc_pt = valid & acc
+        nacc_pt = valid & ~acc & poc
+        gi_out = jnp.where(live, gi, -1.0)
+        return (
+            jnp.sum(acc_pt, axis=1).astype(jnp.int32),
+            jnp.sum(nacc_pt, axis=1).astype(jnp.int32),
+            gi_out, ra,
+        )
+
+    # fat steps: several chunks per map iteration (thin steps cost
+    # real loop overhead on TPU)
+    n_chunks_tot = n_cols * n_z
+    c_batch = next(
+        (b for b in (8, 6, 4, 3, 2, 1) if n_chunks_tot % b == 0), 1
+    )
+
+    def batch_counts(args):
+        outs = [
+            chunk_counts(tuple(a[t] for a in args))
+            for t in range(c_batch)
+        ]
+        return tuple(jnp.stack(o) for o in zip(*outs))
+
+    batched = tuple(
+        a.reshape(-1, c_batch, *a.shape[1:])
+        for a in (row0, valid_lo, valid_hi, st, uc)
+    )
+    acc_c, nacc_c, gis, rs = jax.lax.map(batch_counts, batched)
+    s_tot = n_cols * n_z * chunk
+    return (
+        acc_c.reshape(s_tot), nacc_c.reshape(s_tot),
+        gis.reshape(s_tot).astype(jnp.int32), rs.reshape(s_tot),
+        missed,
+    )
+
+
+# --------------------------------------------------------------------------
 # Two-level sorted windows: (x-slab, y-window) candidate pruning
 # --------------------------------------------------------------------------
+
 
 def _sort_atoms_slab_y(frac_atoms, radii, nbx: int, y_img: float):
     """Sort atoms (plus y-wrap images) by an (x-slab, y) composite key.

@@ -143,8 +143,15 @@ def analyze_frame(
     voxel_volume = volume / (grid[0] * grid[1] * grid[2])
 
     # accessibility is defined by the channel probe (Zeo++ -sa/-vol pass
-    # chan_radius first: pysimmzeopp.py:126-128)
-    mask, accessible, pocket = grid_kernel.void_classification(dist, chan_radius)
+    # chan_radius first: pysimmzeopp.py:126-128). The per-frame path
+    # uses the fully general displacement-vector winding test (exact
+    # for multi-wrap composite channels, matching Zeo++'s criterion);
+    # the batched path's device face test is exact for single-wrap.
+    from amof_tpu.pore import winding
+
+    mask, accessible, pocket = winding.void_classification_exact(
+        np.asarray(dist) >= chan_radius
+    )
     if probe_radius != chan_radius:
         fit = dist >= probe_radius
         acc_fit = fit & accessible
@@ -210,48 +217,42 @@ def analyze_frame(
         out["NAV_cm^3/g"] = nav * A3_TO_CM3 / (mass_amu * AMU_TO_G)
 
     if res or chan:
+        from amof_tpu.pore import winding
+
         d_np = np.asarray(dist)
         di = 2.0 * float(d_np.max())
         # largest free sphere: bisection on the percolation threshold
+        # (general winding criterion, consistent with the -chan test)
         lo, hi = 0.0, float(d_np.max())
         for _ in range(20):
             mid = (lo + hi) / 2
-            _, acc_mid, _ = grid_kernel.void_classification(dist, mid)
-            if bool(jnp.any(acc_mid)):
+            _, acc_mid, _ = winding.void_classification_exact(d_np >= mid)
+            if acc_mid.any():
                 lo = mid
             else:
                 hi = mid
         df = 2.0 * lo
-        _, acc_df, _ = grid_kernel.void_classification(dist, max(lo - 1e-6, 0))
-        dif = 2.0 * float(np.asarray(dist)[np.asarray(acc_df)].max()) if bool(
-            jnp.any(acc_df)
-        ) else 0.0
+        _, acc_df, _ = winding.void_classification_exact(
+            d_np >= max(lo - 1e-6, 0)
+        )
+        dif = 2.0 * float(d_np[acc_df].max()) if acc_df.any() else 0.0
         if res:
             out["Included_diameter"] = di
             out["Free_diameter"] = df
             out["Included_along_free"] = dif
         if chan:
-            # channels = distinct periodic components containing a
-            # winding open component, at chan_radius
-            labels = np.asarray(
-                grid_kernel.label_components(jnp.asarray(accessible), True)
+            # channels = winding periodic components at chan_radius;
+            # dimensionality = rank of each channel's winding lattice
+            # (displacement vectors — Zeo++'s own identification,
+            # exact for multi-wrap composite channels)
+            open_labels = np.asarray(grid_kernel.label_components(
+                np.asarray(mask), periodic=False
+            ))
+            chan_res = winding.channel_analysis(open_labels)
+            out["Number_of_channels"] = float(chan_res["n_channels"])
+            out["Channel_dimensionality"] = float(
+                max(chan_res["dims"], default=0)
             )
-            chan_labels = np.unique(labels[np.asarray(accessible)])
-            out["Number_of_channels"] = float(len(chan_labels))
-            dims = 0
-            open_labels = grid_kernel.label_components(
-                jnp.asarray(accessible), periodic=False
-            )
-            for axis in range(3):
-                sl_last = [slice(None)] * 3
-                sl_last[axis] = -1
-                sl_first = [slice(None)] * 3
-                sl_first[axis] = 0
-                a = np.asarray(open_labels)[tuple(sl_last)].reshape(-1)
-                b = np.asarray(open_labels)[tuple(sl_first)].reshape(-1)
-                if np.any((a == b) & (a >= 0)):
-                    dims += 1
-            out["Channel_dimensionality"] = float(dims)
 
     if psd:
         # -dAV/dr over probe radius: histogram of distance-field values on
@@ -445,6 +446,17 @@ def _run_extra_options(frame, extra: str, kwargs) -> Dict[str, float]:
             )
             out["Distance_grid_shape"] = np.array(grid, dtype=np.float64)
             i += 1
+        elif flag == "-oms":
+            # open-metal-site detection (Zeo++ -oms): a metal site is
+            # "open" when the probe can reach its coordination sphere —
+            # detected here as the metal atom having at least one
+            # ACCESSIBLE surface sample point at the analysis probe
+            # radius (converged-value contract, SURVEY.md §7 hard
+            # parts: Zeo++ inspects the coordination polyhedron; an
+            # exposed metal has accessible surface iff the polyhedron
+            # leaves a probe-sized opening).
+            out.update(_count_open_metal_sites(frame, kwargs))
+            i += 1
         elif flag == "-strinfo":
             syms, counts = np.unique(
                 frame.get_chemical_symbols(), return_counts=True
@@ -458,6 +470,50 @@ def _run_extra_options(frame, extra: str, kwargs) -> Dict[str, float]:
         else:
             raise NotImplementedError(
                 f"extra Zeo++ option {flag!r} is not supported "
-                f"(supported: -gridG, -gridBOV, -strinfo)"
+                f"(supported: -gridG, -gridBOV, -strinfo, -oms)"
             )
     return out
+
+
+# non-metals excluded from -oms (everything else counts as metal, the
+# same breadth as Zeo++'s metal table)
+_NON_METALS = frozenset(
+    [1, 2, 5, 6, 7, 8, 9, 10, 14, 15, 16, 17, 18, 33, 34, 35, 36,
+     52, 53, 54, 85, 86]
+)
+
+
+def _count_open_metal_sites(frame, kwargs) -> Dict[str, float]:
+    """Count metal atoms with probe-accessible surface (-oms)."""
+    from amof_tpu.pore import winding
+
+    probe = float(kwargs.get("probe_radius", DEFAULT_PROBE_RADIUS))
+    chan = float(kwargs.get("chan_radius", DEFAULT_CHAN_RADIUS))
+    num_samples = int(kwargs.get("num_samples", DEFAULT_NUM_SAMPLES))
+    cell = frame.get_cell().astype(np.float32)
+    grid = kwargs.get("grid") or _grid_dims(
+        cell, kwargs.get("resolution", 0.2)
+    )
+    rad_table = elements.vdw_radius_array(overrides=kwargs.get("radii"))
+    numbers = frame.get_atomic_numbers()
+    atom_radii = rad_table[numbers].astype(np.float32)
+    frac = cellmath.cart_to_frac(frame.get_positions(), cell).astype(
+        np.float32
+    )
+    frac = frac - np.floor(frac)
+    dist = grid_kernel.distance_grid(frac, cell, atom_radii, grid)
+    _, accessible, pocket = winding.void_classification_exact(
+        np.asarray(dist) >= chan
+    )
+    k = max(50, num_samples // max(1, len(numbers)))
+    dirs = grid_kernel.fibonacci_sphere(k)
+    acc_counts, _ = grid_kernel.surface_point_classification(
+        frac, cell, atom_radii, probe, dirs,
+        np.asarray(accessible), np.asarray(pocket), grid,
+    )
+    is_metal = ~np.isin(numbers, list(_NON_METALS))
+    open_sites = is_metal & (np.asarray(acc_counts) > 0)
+    return {
+        "Number_of_open_metal_sites": float(open_sites.sum()),
+        "Number_of_metal_sites": float(is_metal.sum()),
+    }

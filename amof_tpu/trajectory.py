@@ -59,9 +59,7 @@ def _sniff_format(filename) -> str:
         int(first.split()[0])
         return "xyz"
     except (ValueError, IndexError):
-        raise ValueError(
-            f"cannot guess trajectory format of {filename}; pass format="
-        ) from None
+        return "ase"  # unknown to the native readers: ASE fallback
 
 
 def read_traj(filename, index=None, format=None, unzip=False, **kwargs):
@@ -102,10 +100,47 @@ def read_traj(filename, index=None, format=None, unzip=False, **kwargs):
             filename, kwargs.pop("atom_style", "charge")
         )
     else:
-        raise ValueError(f"unsupported trajectory format {fmt!r}")
+        # any other format rides ase.io.read when ase is installed —
+        # the full breadth of the reference's ASE-backed ingestion
+        # (amof/trajectory.py:38-60: .traj binaries, PDB, DCD, ...)
+        frames = _read_via_ase(
+            filename, index, None if fmt == "ase" else fmt, **kwargs
+        )
     if isinstance(frames, Frame):
         frames = [frames]
     return Trajectory(frames)
+
+
+def _read_via_ase(filename, index, fmt, **kwargs):
+    """Optional ASE ingestion bridge: formats the native readers do
+    not cover (.traj, PDB, DCD, ...) are read with ``ase.io.read``
+    when ase is installed; otherwise raise naming the format (parity
+    breadth: amof/trajectory.py:38-60)."""
+    try:
+        import ase.io
+    except ImportError:
+        raise ValueError(
+            f"cannot read {filename!r}"
+            + (f" (format {fmt!r})" if fmt else "")
+            + ": not one of the native formats (xyz/extxyz, LAMMPS "
+            "dump/data, VASP POSCAR/XDATCAR, CIF, CP2K) and the "
+            "optional ASE fallback is unavailable — pip install ase, "
+            "or pass format= for a native reader"
+        ) from None
+    images = ase.io.read(
+        str(filename), index=index, **(
+            {"format": fmt, **kwargs} if fmt else kwargs
+        )
+    )
+    if not isinstance(images, (list, tuple)):
+        images = [images]
+    return [
+        Frame(
+            a.get_positions(), a.get_atomic_numbers(),
+            np.asarray(a.get_cell()), pbc=bool(np.any(a.get_pbc())),
+        )
+        for a in images
+    ]
 
 
 def read_lammps_data(filename, atom_style):

@@ -192,8 +192,65 @@ class TestReadTrajDispatch:
         traj = read_traj(str(p))
         assert traj.get_traj()[0].numbers.tolist() == [30, 7]
 
-    def test_unknown_raises(self, tmp_path):
+    def test_unknown_raises_naming_ase(self, tmp_path):
+        """Unknown formats route to the optional ASE bridge; without
+        ase installed the error names the fallback and the native
+        formats (amof/trajectory.py:38-60 breadth policy)."""
+        import builtins
+
         p = tmp_path / "garbage.bin"
         p.write_text("not a trajectory\nat all\n")
-        with pytest.raises(ValueError, match="cannot guess"):
+        try:
+            import ase  # noqa: F401
+
+            has_ase = True
+        except ImportError:
+            has_ase = False
+        if has_ase:
+            pytest.skip("ase installed; the raise path is inactive")
+        with pytest.raises(ValueError, match="ASE fallback"):
             read_traj(str(p))
+        with pytest.raises(ValueError, match="pdb"):
+            read_traj(str(p), format="pdb")
+
+    def test_ase_bridge_conversion(self, tmp_path, monkeypatch):
+        """With ase importable, unknown formats read through
+        ase.io.read and convert Atoms -> Frame (exercised with a stub
+        ase module so the test runs without the real dependency)."""
+        import sys
+        import types
+
+        class FakeAtoms:
+            def get_positions(self):
+                return np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0]])
+
+            def get_atomic_numbers(self):
+                return np.array([30, 7])
+
+            def get_cell(self):
+                return np.eye(3) * 9.0
+
+            def get_pbc(self):
+                return np.array([True, True, True])
+
+        calls = {}
+
+        def fake_read(filename, index=None, **kw):
+            calls["args"] = (filename, index, kw)
+            return [FakeAtoms(), FakeAtoms()]
+
+        ase_mod = types.ModuleType("ase")
+        io_mod = types.ModuleType("ase.io")
+        io_mod.read = fake_read
+        ase_mod.io = io_mod
+        monkeypatch.setitem(sys.modules, "ase", ase_mod)
+        monkeypatch.setitem(sys.modules, "ase.io", io_mod)
+
+        p = tmp_path / "md.traj"
+        p.write_text("binary-ish placeholder")
+        traj = read_traj(str(p), format="traj")
+        frames = traj.get_traj()
+        assert len(frames) == 2
+        assert frames[0].numbers.tolist() == [30, 7]
+        assert frames[0].cell[0, 0] == 9.0
+        assert calls["args"][2]["format"] == "traj"
