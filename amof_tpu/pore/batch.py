@@ -66,7 +66,7 @@ def _make_columns_frame_fn(
     squared-distance threshold tests, no per-pair sqrt), Zeo++ MC
     -vol points riding the same candidate slices, and surface
     sampling + void classification fused in
-    ``surface_counts_columns``.
+    ``surface_valid_columns``.
     """
     grid = col_plan["grid"]
     n_vox = grid[0] * grid[1] * grid[2]
@@ -103,13 +103,16 @@ def _make_columns_frame_fn(
             av = jnp.sum(acc_fit) * voxel_volume
             nav = jnp.sum(poc_fit) * voxel_volume
 
-        acc_c, nacc_c, gis, rs, miss_s = (
-            grid_kernel.surface_counts_columns(
-                frac, cell, radii, probe, dirs, accessible, pocket,
-                grid, nbx=surf_plan["nbx"], nby=surf_plan["nby"],
+        valid, i_pt, i_nu, gis, rs, miss_s = (
+            grid_kernel.surface_valid_columns(
+                frac, cell, radii, probe, dirs, grid,
+                nbx=surf_plan["nbx"], nby=surf_plan["nby"],
                 window=surf_plan["window"], chunk=surf_plan["chunk"],
                 col_cap=surf_plan["col_cap"],
             )
+        )
+        acc_c, nacc_c = grid_kernel.classify_surface_points(
+            valid, i_pt, i_nu, accessible, pocket
         )
         areas = jnp.where(
             gis >= 0, 4.0 * np.pi * (rs + probe) ** 2, 0.0
@@ -242,6 +245,7 @@ class BatchedPore:
         frames_per_call: int = 8,
         vol_method: str = "grid",
         conn_resolution: Optional[float] = None,
+        window_scale: float = 1.0,
     ):
         self.probe_radius = float(probe_radius)
         self.chan_radius = float(chan_radius)
@@ -277,6 +281,11 @@ class BatchedPore:
         # 128 frames x 220^3 voxels); chunking costs one dispatch per
         # group and nothing else
         self.frames_per_call = int(frames_per_call)
+        # internal: widened-window retry factor for frames whose
+        # sorted-run capacities missed (run() escalates 1 -> 2 -> 4 so
+        # a trajectory's -vol column stays ONE estimator instead of
+        # mixing MC with the fine-grid fallback)
+        self.window_scale = float(window_scale)
 
     def prepare(self, batch, mesh=None):
         """Resolve static shapes; returns (step_fn, args, meta)."""
@@ -322,7 +331,12 @@ class BatchedPore:
         # whenever the cell is big enough for >= 4x4 reach-wide
         # columns and the user did not pin explicit grid dims (the
         # column plan adjusts dims for tile divisibility).
-        k = max(16, self.num_samples // max(1, n_at))
+        # Directions per atom follow Zeo++'s allocation (num_samples
+        # spread over ALL atom spheres, ~5/atom at 10k atoms,
+        # amof/pore/pysimmzeopp.py:119-125); the floor of 8
+        # deterministic Fibonacci directions stays ~1.6x above that
+        # default sampling density — raise num_samples for more.
+        k = max(8, self.num_samples // max(1, n_at))
         dirs = grid_kernel.fibonacci_sphere(k)
         col_plan = surf_plan = None
         if self.grid is None and self.window is not None:
@@ -334,6 +348,17 @@ class BatchedPore:
                     cells, float(radii.max()), probe, n_at
                 )
         if col_plan is not None and surf_plan is not None:
+            if self.window_scale != 1.0:
+                col_plan["window"] = int(
+                    -(-col_plan["window"] * self.window_scale // 8) * 8
+                )
+                surf_plan["window"] = int(
+                    -(-surf_plan["window"] * self.window_scale // 8) * 8
+                )
+                surf_plan["col_cap"] = int(
+                    -(-surf_plan["col_cap"] * self.window_scale
+                      // surf_plan["chunk"]) * surf_plan["chunk"]
+                )
             grid = col_plan["grid"]
             mc_points = None
             if self.vol_method == "mc":
@@ -372,14 +397,18 @@ class BatchedPore:
             chunk = 2048  # pessimistic span for the adaptive chunk
             span = (chunk // (grid[1] * grid[2]) + 2) / grid[0]
             if self.window == "auto":
-                w_est = 1.3 * n_at * (span + 2 * dxa) + 64
+                w_est = (
+                    1.3 * n_at * (span + 2 * dxa) + 64
+                ) * self.window_scale
                 dist_window = int(-(-w_est // 128) * 128)
             else:
-                dist_window = int(self.window)
+                dist_window = int(self.window * self.window_scale)
             if dist_window >= n_at:
                 dist_window = None
             reach = 2.0 * (float(radii.max()) + probe)
-            w_est = 1.3 * n_at * reach / w0 + 64  # reach already spans R_i+R_j+2p
+            w_est = (
+                1.3 * n_at * reach / w0 + 64  # reach spans R_i+R_j+2p
+            ) * self.window_scale
             surf_window = int(-(-w_est // 128) * 128)
             if 32 + 2 * surf_window >= n_at:
                 surf_window = None
@@ -499,35 +528,75 @@ class BatchedPore:
         fields per frame (amof/pore/core.py:70-82 field names)."""
         batch = as_frame_batch(batch)
         step_fn, args, meta = self.prepare(batch, mesh)
+        # np.array (not asarray): numpy views of JAX arrays are
+        # read-only and missed frames are patched in place below
         asa, nasa, av, nav, missed = (
-            np.asarray(v) for v in step_fn(*args)
+            np.array(v) for v in step_fn(*args)
         )
         missed = missed.astype(bool)
         if missed.any():
-            # window misses are exact flags; recompute those frames
-            # through the unwindowed per-frame path
-            from amof_tpu.pore import zeopp
-
             idx = np.nonzero(missed)[0]
-            logger.info(
-                "sorted-window capacity missed on %d/%d frames; "
-                "recomputing them exactly", len(idx), len(missed),
-            )
-            for i in idx:
-                out = zeopp.analyze_frame(
-                    batch.frame(int(i)), sa=True, vol=True,
+            if self.vol_method == "mc" and self.window_scale < 4:
+                # widened-window retry keeps the -vol column ONE
+                # estimator across the trajectory (the fine-grid
+                # fallback converges to the same value but mixing MC
+                # and grid estimates within one column is avoidable)
+                logger.info(
+                    "sorted-run capacity missed on %d/%d frames; "
+                    "retrying them with %gx windows",
+                    len(idx), len(missed), self.window_scale * 2,
+                )
+                retry = BatchedPore(
                     probe_radius=self.probe_radius,
                     chan_radius=self.chan_radius,
                     num_samples=self.num_samples, radii=self.radii,
-                    resolution=self.resolution,
-                    # grid mode re-runs at the identical grid; mc mode
-                    # falls back to fine-grid integration (both
-                    # converge to the same values)
-                    grid=meta["grid"] if self.vol_method == "grid" else None,
-                    window=None,
+                    resolution=self.resolution, grid=self.grid,
+                    window=self.window,
+                    frames_per_call=self.frames_per_call,
+                    vol_method=self.vol_method,
+                    conn_resolution=self.conn_resolution,
+                    window_scale=self.window_scale * 2,
                 )
-                asa[i], nasa[i] = out["ASA_A^2"], out["NASA_A^2"]
-                av[i], nav[i] = out["AV_A^3"], out["NAV_A^3"]
+                sub = batch._replace(
+                    positions=np.asarray(batch.positions)[idx],
+                    cell=np.asarray(batch.cell)[idx],
+                    step=np.asarray(batch.step)[idx],
+                )
+                from amof_tpu.parallel.mesh import analysis_mesh
+
+                sub_records, _ = retry.run(
+                    sub, mesh=analysis_mesh(n_frames=len(idx))
+                )
+                for j, i in enumerate(idx):
+                    asa[i] = sub_records[j]["ASA_A^2"]
+                    nasa[i] = sub_records[j]["NASA_A^2"]
+                    av[i] = sub_records[j]["AV_A^3"]
+                    nav[i] = sub_records[j]["NAV_A^3"]
+            else:
+                # window misses are exact flags; recompute those frames
+                # through the unwindowed per-frame path
+                from amof_tpu.pore import zeopp
+
+                logger.info(
+                    "sorted-window capacity missed on %d/%d frames; "
+                    "recomputing them exactly", len(idx), len(missed),
+                )
+                for i in idx:
+                    out = zeopp.analyze_frame(
+                        batch.frame(int(i)), sa=True, vol=True,
+                        probe_radius=self.probe_radius,
+                        chan_radius=self.chan_radius,
+                        num_samples=self.num_samples, radii=self.radii,
+                        resolution=self.resolution,
+                        # grid mode re-runs at the identical grid; the
+                        # (rare) mc-mode terminal fallback integrates
+                        # on the fine grid (converges to the MC value)
+                        grid=meta["grid"] if self.vol_method == "grid"
+                        else None,
+                        window=None,
+                    )
+                    asa[i], nasa[i] = out["ASA_A^2"], out["NASA_A^2"]
+                    av[i], nav[i] = out["AV_A^3"], out["NAV_A^3"]
 
         volume = meta["volumes"].astype(np.float64)
         mass_g = meta["mass_amu"] * AMU_TO_G

@@ -1140,7 +1140,7 @@ def void_masks_columns(
 
 
 def surface_plan(cells, radii_max, probe, n_atoms, chunk: int = 32):
-    """Static plan for ``surface_counts_columns``: coarse xy columns
+    """Static plan for ``surface_valid_columns``: coarse xy columns
     wide enough for the blocker reach R_i + R_j + 2*probe.
 
     Returns dict(nbx, nby, window, chunk, col_cap) or None when the
@@ -1178,14 +1178,12 @@ def surface_plan(cells, radii_max, probe, n_atoms, chunk: int = 32):
     jax.jit,
     static_argnames=("grid", "nbx", "nby", "window", "chunk", "col_cap"),
 )
-def surface_counts_columns(
+def surface_valid_columns(
     frac_atoms,  # f32[N, 3], no padding rows
     cell,
     radii,  # f32[N]
     r_probe,
     dirs,  # f32[K, 3] unit vectors
-    accessible,  # bool[Gx, Gy, Gz]
-    pocket,  # bool[Gx, Gy, Gz]
     grid,
     nbx: int,
     nby: int,
@@ -1193,26 +1191,30 @@ def surface_counts_columns(
     chunk: int,
     col_cap: int,
 ):
-    """Per-atom accessible / non-accessible surface-point counts via
-    coarse sorted xy-columns.
+    """Per-point surface validity + voxel indices via coarse sorted
+    xy-columns.
 
     The Zeo++ ASA construction (amof/pore/pysimmzeopp.py:119-125): for
     each atom i, K points on the sphere of radius R_i + r_probe; a
     point counts iff it lies outside every OTHER atom's inflated
-    sphere, classified accessible / non-accessible by the void voxel
-    it (or its outward nudge) falls into. Blockers of atom i's points
-    lie within R_i + R_j + 2*r_probe of its center, so coarse columns
-    of that width give every chunk of one column's atoms a 3-slice
-    candidate set — and the void-mask lookups happen inside the same
-    chunked pass (one flat gather over all points serializes on the
-    tunnel TPU).
+    sphere. Blockers of atom i's points lie within R_i + R_j +
+    2*r_probe of its center, so coarse columns of that width give
+    every chunk of one column's atoms a 3-slice candidate set.
+
+    Void classification is left to the caller: the kernel returns
+    LINEAR voxel indices of each point and of its outward nudge, so
+    the caller classifies with two big flat gathers — many small
+    per-chunk gathers each pay a fixed dispatch latency on TPU
+    (measured ~20x the amortized per-element cost), while one 290k
+    flat gather runs at ~4 ns/element.
 
     Chunks are column-aligned slots (columns exceeding ``col_cap``
     raise the missed flag, as do 3-column runs over ``window``).
 
-    Returns (acc_counts i32[S], nacc_counts i32[S], orig_idx i32[S],
-    radii f32[S], missed bool[]) in slot order, S = n_cols *
-    ceil(col_cap/chunk) * chunk; padding slots carry orig_idx -1.
+    Returns (valid bool[S, K], idx_pt i32[S, K], idx_nudge i32[S, K],
+    orig_idx i32[S], radii f32[S], missed bool[]) in slot order,
+    S = n_cols * ceil(col_cap/chunk) * chunk; padding slots carry
+    orig_idx -1 and valid False.
     """
     n = frac_atoms.shape[0]
     inv_cell = jnp.linalg.inv(cell)
@@ -1220,8 +1222,6 @@ def surface_counts_columns(
     stride = nby + 2
     gvec = jnp.array(grid)
     cell_z = cell[2]
-    # exclusive void code: 0 wall, 1 accessible, 2 pocket
-    code = accessible.astype(jnp.int8) + 2 * pocket.astype(jnp.int8)
 
     fx = frac_atoms[:, 0] - jnp.floor(frac_atoms[:, 0])
     fy = frac_atoms[:, 1] - jnp.floor(frac_atoms[:, 1])
@@ -1326,29 +1326,18 @@ def surface_counts_columns(
             valid = ok if valid is None else (valid & ok)
         valid = valid.reshape(chunk, dirs.shape[0]) & live[:, None]
         fp = fp.reshape(chunk, dirs.shape[0], 3)
-
-        # classify by void voxel of the point and of an outward nudge;
-        # accessible and pocket are disjoint, so ONE exclusive i8 code
-        # field serves both — half the gathers (TPU gathers serialize
-        # at ~20 ns/element; they dominate this pass's cost)
         nudge = fp + matvec3(dirs * 0.2, inv_cell)[None]
 
-        def lookup(fpts):
+        def linear_idx(fpts):
             f = fpts - jnp.floor(fpts)
             idx = jnp.minimum((f * gvec).astype(jnp.int32), gvec - 1)
-            return code[idx[..., 0], idx[..., 1], idx[..., 2]]
+            return (
+                idx[..., 0] * grid[1] + idx[..., 1]
+            ) * grid[2] + idx[..., 2]
 
-        c1 = lookup(fp)
-        c2 = lookup(nudge)
-        acc = (c1 == 1) | (c2 == 1)
-        poc = (c1 == 2) | (c2 == 2)
-        acc_pt = valid & acc
-        nacc_pt = valid & ~acc & poc
         gi_out = jnp.where(live, gi, -1.0)
         return (
-            jnp.sum(acc_pt, axis=1).astype(jnp.int32),
-            jnp.sum(nacc_pt, axis=1).astype(jnp.int32),
-            gi_out, ra,
+            valid, linear_idx(fp), linear_idx(nudge), gi_out, ra,
         )
 
     # fat steps: several chunks per map iteration (thin steps cost
@@ -1369,12 +1358,35 @@ def surface_counts_columns(
         a.reshape(-1, c_batch, *a.shape[1:])
         for a in (row0, valid_lo, valid_hi, st, uc)
     )
-    acc_c, nacc_c, gis, rs = jax.lax.map(batch_counts, batched)
+    valid, i_pt, i_nu, gis, rs = jax.lax.map(batch_counts, batched)
     s_tot = n_cols * n_z * chunk
+    k = dirs.shape[0]
     return (
-        acc_c.reshape(s_tot), nacc_c.reshape(s_tot),
+        valid.reshape(s_tot, k), i_pt.reshape(s_tot, k),
+        i_nu.reshape(s_tot, k),
         gis.reshape(s_tot).astype(jnp.int32), rs.reshape(s_tot),
         missed,
+    )
+
+
+def classify_surface_points(valid, idx_pt, idx_nudge, accessible,
+                            pocket):
+    """Flat-gather classification of ``surface_valid_columns`` output:
+    (acc_counts i32[S], nacc_counts i32[S]) per slot. Accessible and
+    pocket are disjoint, so one exclusive i8 code field serves both
+    lookups."""
+    code = (
+        accessible.astype(jnp.int8) + 2 * pocket.astype(jnp.int8)
+    ).reshape(-1)
+    c1 = code[idx_pt.reshape(-1)].reshape(idx_pt.shape)
+    c2 = code[idx_nudge.reshape(-1)].reshape(idx_nudge.shape)
+    acc = (c1 == 1) | (c2 == 1)
+    poc = (c1 == 2) | (c2 == 2)
+    acc_pt = valid & acc
+    nacc_pt = valid & ~acc & poc
+    return (
+        jnp.sum(acc_pt, axis=1).astype(jnp.int32),
+        jnp.sum(nacc_pt, axis=1).astype(jnp.int32),
     )
 
 
