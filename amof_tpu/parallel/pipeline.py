@@ -467,11 +467,25 @@ class FusedAnalysis:
             if n_frames % d == 0:
                 fpc = d
                 break
-        pair_step = _make_step(
-            mesh, n_species, bins, float(self.dr), bad_bins,
-            float(self.dtheta), self.max_neighbors, self.chunk, method,
-            n_pad, self.with_bad, False, self.origin_policy, bad_window,
-        )
+        # pair steps are compiled per neighbor capacity, lazily: a
+        # single crowded atom anywhere in a long trajectory must not
+        # force the doubled-capacity (2x-cost) BAD tables on EVERY
+        # frame — only the dispatch groups that actually overflow
+        # escalate (measured: K=8 suffices for 128 north-star frames
+        # but one atom in 256 overflows, and the global K=16 retry
+        # doubled the whole BAD stage)
+        pair_steps = {}
+
+        def get_pair_step(k_cap):
+            if k_cap not in pair_steps:
+                pair_steps[k_cap] = _make_step(
+                    mesh, n_species, bins, float(self.dr), bad_bins,
+                    float(self.dtheta), k_cap, self.chunk, method,
+                    n_pad, self.with_bad, False, self.origin_policy,
+                    bad_window,
+                )
+            return pair_steps[k_cap]
+
         meta["frames_per_call"] = fpc
 
         if self.with_msd:
@@ -480,10 +494,12 @@ class FusedAnalysis:
             )
             # atom block: divides the padded atom count, multiple of
             # the flat device count (the block is sharded over EVERY
-            # device)
-            a_target = self.msd_atoms_per_call or max(
-                n_pad // 8, n_dev
-            )
+            # device). Auto-sizing targets ~256 MB of per-chip series
+            # (F x A_blk/n_dev x 3 f32 x a few live copies): one block
+            # at bench scale, ~50 blocks at 100k frames x 10k atoms.
+            a_target = self.msd_atoms_per_call or int(max(
+                n_dev, min(n_pad, 256e6 * n_dev // (12 * n_frames))
+            ))
             a_blk = n_dev
             for d in range(
                 min(-(-a_target // n_dev) * n_dev, n_pad),
@@ -501,11 +517,18 @@ class FusedAnalysis:
             cn_parts = []
             overflow = np.zeros((), bool)
             for i in range(0, n_frames, fpc):
-                out = pair_step(
-                    positions[i:i + fpc], cells[i:i + fpc],
-                    volumes[i:i + fpc], species_idx, cutoff_matrix,
-                    masses,
-                )
+                k_cap = self.max_neighbors
+                while True:
+                    out = get_pair_step(k_cap)(
+                        positions[i:i + fpc], cells[i:i + fpc],
+                        volumes[i:i + fpc], species_idx, cutoff_matrix,
+                        masses,
+                    )
+                    if (not self.with_bad
+                            or not np.asarray(out["bad_overflow"]).any()
+                            or k_cap >= 1024):
+                        break
+                    k_cap *= 2  # this group only; never truncate
                 if i == 0:
                     rdf = np.zeros(
                         np.asarray(out["rdf_counts"]).shape, np.float64

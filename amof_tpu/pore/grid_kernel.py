@@ -914,14 +914,30 @@ def xycol_plan(cells, radii_max, dmax, grid_raw, n_atoms):
     if nbx < 4 or nby < 4:
         return None
 
-    def round_axis(g_raw, nb):
-        tv = -(-g_raw // nb)
-        if (nb * tv) % 2:
-            tv += 1
-        return nb * tv, tv
+    def round_axis(g_raw, nb_max):
+        """(g, nb): smallest g >= g_raw with g = nb * tv, nb <= nb_max,
+        and g % 8 == 0 — the Mosaic flood-fill sweep kernel runs tx
+        sweeps per HBM pass with tx the largest of (8, 4, 2) dividing
+        the x dim, so a dim like 102 (tx = 2) quadruples the fixpoint
+        rounds on long-channel (porous) masks."""
+        best = None
+        for nb in range(nb_max, 3, -1):
+            tv = -(-g_raw // nb)
+            for bump in range(8):
+                g = nb * (tv + bump)
+                if g % 8 == 0:
+                    if best is None or g < best[0]:
+                        best = (g, nb)
+                    break
+        if best is None:  # fall back to even dims
+            nb = nb_max
+            tv = -(-g_raw // nb)
+            tv += tv % 2
+            return nb * tv, nb
+        return best
 
-    gx, _ = round_axis(grid_raw[0], nbx)
-    gy, _ = round_axis(grid_raw[1], nby)
+    gx, nbx = round_axis(grid_raw[0], nbx)
+    gy, nby = round_axis(grid_raw[1], nby)
     gz = -(-grid_raw[2] // 4) * 4
     # slice cap: 3 contiguous columns (plus y-edge duplicates)
     mean3 = 3.0 * n_atoms / (nbx * nby) * (1.0 + 2.0 / nby)

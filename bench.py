@@ -129,12 +129,15 @@ def main():
                              "to the full count (0 = all frames); the "
                              "per-frame cost is frame-independent, so "
                              "the scaling is exact up to noise")
-    parser.add_argument("--frames-per-call", type=int, default=None,
+    parser.add_argument("--frames-per-call", type=int, default=128,
                         help="chunk the fused pipeline into dispatches "
                              "of this many frames per mesh frames-row "
-                             "(north-star scale: one dispatch scanning "
-                             "10k frames runs minutes and trips remote "
-                             "watchdogs); MSD then runs atom-blocked")
+                             "(the production path: one dispatch "
+                             "scanning 10k frames runs minutes and "
+                             "trips remote watchdogs, and per-frame "
+                             "cost measurably grows with monolithic "
+                             "dispatch length); MSD runs atom-blocked. "
+                             "0 = monolithic single dispatch")
     parser.add_argument("--max-neighbors", type=int, default=8,
                         help="initial BAD neighbor capacity; doubled "
                              "automatically while the overflow flag fires")
@@ -165,7 +168,7 @@ def main():
             dr=args.dr, dtheta=args.dtheta, chunk=args.chunk,
             method=args.method, with_bad=not args.no_bad,
             with_msd=not args.no_msd, max_neighbors=k_cap,
-            frames_per_call=args.frames_per_call,
+            frames_per_call=args.frames_per_call or None,
         )
         step_fn, fargs, meta = fa.prepare(batch, mesh=mesh)
         # keep inputs device-resident: numpy args would re-upload the

@@ -107,6 +107,31 @@ class TestFusedPipeline:
                 out[key], ref[key], rtol=1e-4, atol=1e-3, err_msg=key
             )
 
+    def test_chunked_capacity_escalation(self):
+        """A too-small neighbor capacity escalates per dispatch group
+        (never globally): starting from max_neighbors=2 the chunked
+        path must still return the exact full-capacity histograms."""
+        frames = tiny_trajectory(n_frames=8)
+        mesh = analysis_mesh(8, frames_axis=4)
+        ref = FusedAnalysis(
+            {"Zn-N": 2.5, "C-H": 1.3}, dr=0.05, dtheta=2.0, chunk=16,
+            method="scatter", with_msd=False, max_neighbors=16,
+        )
+        out_ref, _ = ref.run(frames, mesh=mesh)
+        assert not np.asarray(out_ref["bad_overflow"]).any()
+        small = FusedAnalysis(
+            {"Zn-N": 2.5, "C-H": 1.3}, dr=0.05, dtheta=2.0, chunk=16,
+            method="scatter", with_msd=False, max_neighbors=2,
+            frames_per_call=1,
+        )
+        out, _ = small.run(frames, mesh=mesh)
+        assert not np.asarray(out["bad_overflow"]).any()
+        for key in ("rdf_counts", "bad_concrete", "bad_center_any",
+                    "cn_counts"):
+            np.testing.assert_allclose(
+                out[key], out_ref[key], rtol=1e-6, err_msg=key
+            )
+
     def test_chunked_long_trajectory_msd(self):
         """F=4096, A=512: the atom-blocked MSD path at a long-time
         shape equals the monolithic result (SURVEY §5.7 'Done'
