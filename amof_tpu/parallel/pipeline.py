@@ -117,40 +117,39 @@ def _make_step(
         rdf_sh, cn_sh, badc_sh, bada_sh, _ = jax.eval_shape(per_frame, frame0)
 
         def body(carry, args):
-            rdf_c, badc_c, bada_c, ovf = carry
+            rdf_c, badc_c, bada_c = carry
             rdf, cn, bad_c, bad_a, overflow = per_frame(args)
             carry = (
                 accum.neumaier_add(rdf_c, rdf),
                 accum.neumaier_add(badc_c, bad_c),
                 accum.neumaier_add(bada_c, bad_a),
-                ovf | jnp.any(overflow),
             )
-            return carry, cn
+            return carry, (cn, jnp.any(overflow))
 
         init = (
             accum.neumaier_init(rdf_sh),
             accum.neumaier_init(badc_sh),
             accum.neumaier_init(bada_sh),
-            jnp.zeros((), bool),
         )
-        (rdf_c, badc_c, bada_c, ovf), cn = jax.lax.scan(
+        (rdf_c, badc_c, bada_c), (cn, ovf) = jax.lax.scan(
             body, init, (pos_atoms_full, cells, volumes)
         )
         rdf = jax.lax.psum(accum.neumaier_total(rdf_c), ("frames", "atoms"))
         cn = jax.lax.psum(cn, "atoms")  # per-frame, stays frame-sharded
         bad_c = jax.lax.psum(accum.neumaier_total(badc_c), ("frames", "atoms"))
         bad_a = jax.lax.psum(accum.neumaier_total(bada_c), ("frames", "atoms"))
-        overflow = jax.lax.pmax(
-            ovf.astype(jnp.int32), ("frames", "atoms")
-        )
+        overflow = jax.lax.pmax(ovf.astype(jnp.int32), "atoms")
 
         out = {
             "rdf_counts": rdf,
             "cn_counts": cn,
             "bad_concrete": bad_c,
             "bad_center_any": bad_a,
-            # nonzero => some atom had > max_neighbors within cutoff and
-            # the BAD histograms silently dropped angles; raise K
+            # PER-FRAME flags (frame-sharded like cn): nonzero => some
+            # atom of that frame had > max_neighbors within cutoff (or
+            # the sorted window missed) and the BAD histograms silently
+            # dropped angles; raise K — the chunked path reruns only
+            # the flagged frame blocks at doubled capacity
             "bad_overflow": overflow,
         }
 
@@ -210,7 +209,7 @@ def _make_step(
         "cn_counts": P("frames", None, None),
         "bad_concrete": P(),
         "bad_center_any": P(),
-        "bad_overflow": P(),
+        "bad_overflow": P("frames"),
     }
     if with_msd:
         out_specs["msd"] = P()
@@ -473,8 +472,11 @@ class FusedAnalysis:
         # frame — only the dispatch groups that actually overflow
         # escalate (measured: K=8 suffices for 128 north-star frames
         # but one atom in 256 overflows, and the global K=16 retry
-        # doubled the whole BAD stage)
+        # doubled the whole BAD stage). Escalations are REMEMBERED per
+        # group across calls (capacity requirements are a property of
+        # the data): repeated runs skip the failed base-capacity probe.
         pair_steps = {}
+        group_caps = {}
 
         def get_pair_step(k_cap):
             if k_cap not in pair_steps:
@@ -515,9 +517,9 @@ class FusedAnalysis:
             rdf = np.zeros(0)
             bad_c = bad_a = None
             cn_parts = []
-            overflow = np.zeros((), bool)
+            ovf_parts = []
             for i in range(0, n_frames, fpc):
-                k_cap = self.max_neighbors
+                k_cap = group_caps.get(i, self.max_neighbors)
                 while True:
                     out = get_pair_step(k_cap)(
                         positions[i:i + fpc], cells[i:i + fpc],
@@ -529,6 +531,7 @@ class FusedAnalysis:
                             or k_cap >= 1024):
                         break
                     k_cap *= 2  # this group only; never truncate
+                group_caps[i] = k_cap
                 if i == 0:
                     rdf = np.zeros(
                         np.asarray(out["rdf_counts"]).shape, np.float64
@@ -544,13 +547,15 @@ class FusedAnalysis:
                 bad_c += np.asarray(out["bad_concrete"], np.float64)
                 bad_a += np.asarray(out["bad_center_any"], np.float64)
                 cn_parts.append(np.asarray(out["cn_counts"]))
-                overflow = overflow | np.asarray(out["bad_overflow"])
+                ovf_parts.append(np.asarray(out["bad_overflow"]))
             result = {
                 "rdf_counts": rdf,
                 "cn_counts": np.concatenate(cn_parts),
                 "bad_concrete": bad_c,
                 "bad_center_any": bad_a,
-                "bad_overflow": overflow,
+                # per-frame flags; all-False unless a group hit the
+                # runaway capacity bound (escalation resolves misses)
+                "bad_overflow": np.concatenate(ovf_parts),
             }
             if self.with_msd:
                 com_s = np.zeros((n_frames, 3), np.float64)
