@@ -109,6 +109,11 @@ def _make_columns_frame_fn(
                 nbx=surf_plan["nbx"], nby=surf_plan["nby"],
                 window=surf_plan["window"], chunk=surf_plan["chunk"],
                 col_cap=surf_plan["col_cap"],
+                # exact prefilter: points can only count on void voxels
+                # (code = accessible + 2*pocket is nonzero exactly on
+                # m_chan); chunks of all-buried atoms skip the blocker
+                # pass — in a dense glass that is most of them
+                cand_mask=m_chan,
             )
         )
         acc_c, nacc_c = grid_kernel.classify_surface_points(

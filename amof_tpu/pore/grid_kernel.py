@@ -1206,6 +1206,8 @@ def surface_valid_columns(
     window: int,
     chunk: int,
     col_cap: int,
+    cand_mask=None,  # optional bool[gx, gy, gz]: voxels whose codes
+    #                  can make a point count (accessible | pocket)
 ):
     """Per-point surface validity + voxel indices via coarse sorted
     xy-columns.
@@ -1227,6 +1229,17 @@ def surface_valid_columns(
     Chunks are column-aligned slots (columns exceeding ``col_cap``
     raise the missed flag, as do 3-column runs over ``window``).
 
+    ``cand_mask`` enables the EXACT candidate prefilter: a point can
+    only ever count when its voxel (or its outward nudge's) carries a
+    nonzero classification code, so atoms none of whose K points land
+    in the 1-voxel-dilated mask (dilation absorbs last-ulp voxel-index
+    disagreement with the in-chunk point computation) cannot contribute
+    — they sort to the BACK of their column and whole chunks without a
+    candidate atom skip the blocker-window distance pass entirely via
+    lax.cond (real branching: the per-frame loop is a sequential
+    lax.map). In a dense glass < 1% of points are near void, so most
+    chunks skip; results are bit-identical to the unfiltered pass.
+
     Returns (valid bool[S, K], idx_pt i32[S, K], idx_nudge i32[S, K],
     orig_idx i32[S], radii f32[S], missed bool[]) in slot order,
     S = n_cols * ceil(col_cap/chunk) * chunk; padding slots carry
@@ -1246,12 +1259,45 @@ def surface_valid_columns(
     by = jnp.minimum((fy * nby).astype(jnp.int32), nby - 1)
     gidx = jnp.arange(n, dtype=jnp.float32)
 
-    # centers: originals only, sorted by plain column id
-    key_c = (bx * nby + by).astype(jnp.float32) + fz
-    keys_c, cx, cy, cz, cr, cg = jax.lax.sort(
-        (key_c, fx, fy, fz, radii, gidx), dimension=0, num_keys=1
+    k = dirs.shape[0]
+    if cand_mask is not None:
+        m = cand_mask
+        for ax in range(3):  # separable periodic 3^3 dilation
+            m = m | jnp.roll(m, 1, ax) | jnp.roll(m, -1, ax)
+        cflat = m.reshape(-1)
+        fo = matvec3(dirs, inv_cell)  # [K, 3] frac offset per unit dir
+        nshift = matvec3(dirs * jnp.float32(0.2), inv_cell)
+        fbase = jnp.stack([fx, fy, fz], axis=1)
+        fp_all = (
+            fbase[:, None, :]
+            + (radii[:, None, None] + r_probe) * fo[None]
+        )  # [N, K, 3]
+
+        def lin_all(f):
+            f = f - jnp.floor(f)
+            idx = jnp.minimum((f * gvec).astype(jnp.int32), gvec - 1)
+            return (
+                idx[..., 0] * grid[1] + idx[..., 1]
+            ) * grid[2] + idx[..., 2]
+
+        c1 = cflat[lin_all(fp_all).reshape(-1)]
+        c2 = cflat[lin_all(fp_all + nshift[None]).reshape(-1)]
+        cand = (c1 | c2).reshape(n, k).any(axis=1)
+    else:
+        cand = jnp.ones((n,), bool)
+
+    # centers: originals only, sorted by column id with candidate atoms
+    # FIRST within each column (chunks past a column's candidate prefix
+    # skip the blocker pass; z-order within a column is irrelevant —
+    # windows are per column, not per z)
+    key_c = (bx * nby + by).astype(jnp.float32) + jnp.where(
+        cand, fz * 0.5, 0.5 + fz * 0.5
     )
-    centers_pl = jnp.stack([cx, cy, cz, cr, cg], axis=0)  # [5, N]
+    keys_c, cx, cy, cz, cr, cg, ccand = jax.lax.sort(
+        (key_c, fx, fy, fz, radii, gidx, cand.astype(jnp.float32)),
+        dimension=0, num_keys=1,
+    )
+    centers_pl = jnp.stack([cx, cy, cz, cr, cg, ccand], axis=0)  # [6, N]
     c_bounds = jnp.searchsorted(
         keys_c, jnp.arange(n_cols + 1, dtype=jnp.float32)
     )
@@ -1296,12 +1342,14 @@ def surface_valid_columns(
 
     def chunk_counts(args):
         r0, vlo, vhi, st3, center = args
-        pl = jax.lax.dynamic_slice(centers_pl, (0, r0), (5, chunk))
+        pl = jax.lax.dynamic_slice(centers_pl, (0, r0), (6, chunk))
         fa = pl[:3].T  # [chunk, 3]
         ra = pl[3]
         gi = pl[4]
+        ca = pl[5]
         rows = r0 + jnp.arange(chunk, dtype=jnp.int32)
         live = (rows >= vlo) & (rows < vhi)
+        cand_any = jnp.any((ca > 0) & live)
 
         fa_u = jnp.concatenate(
             [fa[:, :2] - jnp.round(fa[:, :2] - center[None, :]),
@@ -1316,30 +1364,41 @@ def surface_valid_columns(
         fp = matvec3(pts, inv_cell)  # [P, 3]
         gi_p = jnp.repeat(gi, dirs.shape[0])
 
-        # per-slice, per-axis accumulation: concatenating the three
-        # runs materializes [P, 3W, 3] difference tensors that spill
-        valid = None
-        for s in range(3):
-            cand = jax.lax.dynamic_slice(
-                blockers_pl, (0, st3[s]), (5, window)
-            )
-            wxy = cand[:2] - jnp.round(cand[:2] - center[:, None])
-            wz = cand[2]
-            wr = cand[3]
-            wg = cand[4]
-            w_cart = matvec3(
-                jnp.concatenate([wxy, wz[None]], axis=0).T, cell
-            )  # [W, 3]
-            zshift = jnp.round(fp[:, 2:3] - wz[None, :])  # [P, W]
-            dxc = pts[:, 0:1] - w_cart[None, :, 0] - zshift * cell_z[0]
-            dyc = pts[:, 1:2] - w_cart[None, :, 1] - zshift * cell_z[1]
-            dzc = pts[:, 2:3] - w_cart[None, :, 2] - zshift * cell_z[2]
-            d2 = dxc * dxc + dyc * dyc + dzc * dzc  # [P, W]
-            thr2 = (wr + jnp.float32(r_probe - 1e-4)) ** 2
-            self_m = wg[None, :] == gi_p[:, None]
-            thr2 = jnp.where(self_m, -1.0, thr2[None, :])
-            ok = jnp.all(d2 > thr2, axis=-1)
-            valid = ok if valid is None else (valid & ok)
+        def blocker_pass(_):
+            # per-slice, per-axis accumulation: concatenating the three
+            # runs materializes [P, 3W, 3] difference tensors that spill
+            valid = None
+            for s in range(3):
+                cnd = jax.lax.dynamic_slice(
+                    blockers_pl, (0, st3[s]), (5, window)
+                )
+                wxy = cnd[:2] - jnp.round(cnd[:2] - center[:, None])
+                wz = cnd[2]
+                wr = cnd[3]
+                wg = cnd[4]
+                w_cart = matvec3(
+                    jnp.concatenate([wxy, wz[None]], axis=0).T, cell
+                )  # [W, 3]
+                zshift = jnp.round(fp[:, 2:3] - wz[None, :])  # [P, W]
+                dxc = pts[:, 0:1] - w_cart[None, :, 0] - zshift * cell_z[0]
+                dyc = pts[:, 1:2] - w_cart[None, :, 1] - zshift * cell_z[1]
+                dzc = pts[:, 2:3] - w_cart[None, :, 2] - zshift * cell_z[2]
+                d2 = dxc * dxc + dyc * dyc + dzc * dzc  # [P, W]
+                thr2 = (wr + jnp.float32(r_probe - 1e-4)) ** 2
+                self_m = wg[None, :] == gi_p[:, None]
+                thr2 = jnp.where(self_m, -1.0, thr2[None, :])
+                ok = jnp.all(d2 > thr2, axis=-1)
+                valid = ok if valid is None else (valid & ok)
+            return valid
+
+        # chunks with no candidate atom cannot contribute: skip the
+        # [P, 3W] blocker-distance work (a real branch — this runs
+        # inside the sequential lax.map below)
+        valid = jax.lax.cond(
+            cand_any, blocker_pass,
+            lambda _: jnp.zeros((chunk * dirs.shape[0],), bool),
+            operand=None,
+        )
         valid = valid.reshape(chunk, dirs.shape[0]) & live[:, None]
         fp = fp.reshape(chunk, dirs.shape[0], 3)
         nudge = fp + matvec3(dirs * 0.2, inv_cell)[None]
