@@ -1231,14 +1231,15 @@ def surface_valid_columns(
 
     ``cand_mask`` enables the EXACT candidate prefilter: a point can
     only ever count when its voxel (or its outward nudge's) carries a
-    nonzero classification code, so atoms none of whose K points land
-    in the 1-voxel-dilated mask (dilation absorbs last-ulp voxel-index
-    disagreement with the in-chunk point computation) cannot contribute
-    — they sort to the BACK of their column and whole chunks without a
-    candidate atom skip the blocker-window distance pass entirely via
-    lax.cond (real branching: the per-frame loop is a sequential
-    lax.map). In a dense glass < 1% of points are near void, so most
-    chunks skip; results are bit-identical to the unfiltered pass.
+    nonzero classification code, so atoms none of whose K points hit
+    the mask (sharp test; near-voxel-boundary points fall back to the
+    1-voxel-dilated mask, absorbing last-ulp index disagreement with
+    the in-chunk point computation) cannot contribute — they sort to
+    the BACK of their column and whole chunks without a candidate atom
+    skip the blocker-window distance pass entirely via lax.cond (real
+    branching: the per-frame loop is a sequential lax.map). In a dense
+    glass < 1% of points are near void, so most chunks skip; results
+    are bit-identical to the unfiltered pass.
 
     Returns (valid bool[S, K], idx_pt i32[S, K], idx_nudge i32[S, K],
     orig_idx i32[S], radii f32[S], missed bool[]) in slot order,
@@ -1261,10 +1262,18 @@ def surface_valid_columns(
 
     k = dirs.shape[0]
     if cand_mask is not None:
-        m = cand_mask
+        # sharp mask decides candidacy; the 3^3-dilated mask is
+        # consulted ONLY for points within a sub-voxel margin of a
+        # voxel boundary, where this (fbase-anchored) index computation
+        # and the in-chunk (column-unwrapped, cartesian-roundtrip) one
+        # can disagree by one voxel (measured bound ~1.5e-4 voxel
+        # units; margin 5e-4). Dilating unconditionally inflated a
+        # 0.85%-sparse glass mask ~20x and destroyed the skip rate.
+        md = cand_mask
         for ax in range(3):  # separable periodic 3^3 dilation
-            m = m | jnp.roll(m, 1, ax) | jnp.roll(m, -1, ax)
-        cflat = m.reshape(-1)
+            md = md | jnp.roll(md, 1, ax) | jnp.roll(md, -1, ax)
+        code = cand_mask.astype(jnp.int8) | (md.astype(jnp.int8) << 1)
+        cflat = code.reshape(-1)
         fo = matvec3(dirs, inv_cell)  # [K, 3] frac offset per unit dir
         nshift = matvec3(dirs * jnp.float32(0.2), inv_cell)
         fbase = jnp.stack([fx, fy, fz], axis=1)
@@ -1273,16 +1282,28 @@ def surface_valid_columns(
             + (radii[:, None, None] + r_probe) * fo[None]
         )  # [N, K, 3]
 
-        def lin_all(f):
+        def lin_bnd(f):
             f = f - jnp.floor(f)
-            idx = jnp.minimum((f * gvec).astype(jnp.int32), gvec - 1)
-            return (
+            fg = f * gvec
+            idx = jnp.minimum(fg.astype(jnp.int32), gvec - 1)
+            lin = (
                 idx[..., 0] * grid[1] + idx[..., 1]
             ) * grid[2] + idx[..., 2]
+            near = jnp.any(
+                jnp.abs(fg - jnp.round(fg)) < jnp.float32(5e-4), axis=-1
+            )
+            return lin, near
 
-        c1 = cflat[lin_all(fp_all).reshape(-1)]
-        c2 = cflat[lin_all(fp_all + nshift[None]).reshape(-1)]
-        cand = (c1 | c2).reshape(n, k).any(axis=1)
+        l1, nb1 = lin_bnd(fp_all)
+        l2, nb2 = lin_bnd(fp_all + nshift[None])
+        c1 = cflat[l1.reshape(-1)].reshape(n, k)
+        c2 = cflat[l2.reshape(-1)].reshape(n, k)
+        cand_pt = (
+            ((c1 & 1) | (c2 & 1)).astype(bool)
+            | (nb1 & (c1 >= 2))
+            | (nb2 & (c2 >= 2))
+        )
+        cand = cand_pt.any(axis=1)
     else:
         cand = jnp.ones((n,), bool)
 
