@@ -508,6 +508,14 @@ def frame_cn_counts_windowed(
     """CN counts via the sorted-window pass: O(N*W) instead of the
     O(N^2) ``frame_cn_counts``. Returns (cn f32[S, S], missed bool[]);
     on a window miss the caller falls back to the full pass.
+
+    WARNING (measured, TPU v5e, 10k atoms): this pass LOSES to the full
+    tiled ``frame_cn_counts`` on TPU (12.7 vs 6.4 ms/frame) — the full
+    pass's [chunk, N] tiles keep the VPU saturated while the windowed
+    pass's narrower tiles do not, and the candidate reduction does not
+    make that back. It wins on CPU (where pair count dominates) — the
+    CN class uses it only on the CPU backend at >= 2048 atoms. Prefer
+    ``frame_cn_counts`` on accelerators.
     """
     out = frame_neighbor_payload_table_sorted(
         positions, cell, species_idx, cutoff_matrix, max_neighbors=1,

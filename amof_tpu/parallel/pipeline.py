@@ -62,9 +62,19 @@ def _make_step(
     atoms_ax = mesh.shape["atoms"]
     a_local = n_atoms_padded // atoms_ax
 
-    def step(positions, cells, volumes, species_idx, cutoff_matrix, masses):
-        # positions: [F_loc, A_loc, 3]; cells/volumes: [F_loc, ...]
+    def step(positions, cells, volumes, species_idx, cutoff_matrix,
+             masses, weights):
+        # positions: [F_loc, A_loc, 3]; cells/volumes/weights: [F_loc, ...]
         # species_idx/cutoff_matrix/masses: replicated
+        #
+        # ``weights`` scales each frame's RDF contribution (0 = ignore:
+        # pad rows of the chunked path's rerun blocks). BAD additionally
+        # self-masks on the frame's own overflow flag, so a flagged
+        # frame contributes NOTHING to the angle histograms — the
+        # chunked path then reruns exactly the flagged frames at doubled
+        # capacity and their (complete) histograms add cleanly, instead
+        # of escalating a whole frames_per_call group because of one
+        # crowded atom (measured: +10 ms/frame on escalated groups).
         if atoms_ax == 1:
             i0 = 0  # static full range -> pallas-eligible
         else:
@@ -118,13 +128,22 @@ def _make_step(
 
         def body(carry, args):
             rdf_c, badc_c, bada_c = carry
-            rdf, cn, bad_c, bad_a, overflow = per_frame(args)
-            carry = (
-                accum.neumaier_add(rdf_c, rdf),
-                accum.neumaier_add(badc_c, bad_c),
-                accum.neumaier_add(bada_c, bad_a),
+            pos_f, cell_f, vol_f, w = args
+            rdf, cn, bad_c, bad_a, overflow = per_frame(
+                (pos_f, cell_f, vol_f)
             )
-            return carry, (cn, jnp.any(overflow))
+            ovf_f = jnp.any(overflow)
+            if atoms_ax > 1:
+                # the flag must mask consistently across atom shards
+                # (each shard only sees overflow of ITS center atoms)
+                ovf_f = jax.lax.pmax(ovf_f.astype(jnp.int32), "atoms") > 0
+            wb = w * (1.0 - ovf_f.astype(jnp.float32))
+            carry = (
+                accum.neumaier_add(rdf_c, rdf * w),
+                accum.neumaier_add(badc_c, bad_c * wb),
+                accum.neumaier_add(bada_c, bad_a * wb),
+            )
+            return carry, (cn, ovf_f)
 
         init = (
             accum.neumaier_init(rdf_sh),
@@ -132,7 +151,7 @@ def _make_step(
             accum.neumaier_init(bada_sh),
         )
         (rdf_c, badc_c, bada_c), (cn, ovf) = jax.lax.scan(
-            body, init, (pos_atoms_full, cells, volumes)
+            body, init, (pos_atoms_full, cells, volumes, weights)
         )
         rdf = jax.lax.psum(accum.neumaier_total(rdf_c), ("frames", "atoms"))
         cn = jax.lax.psum(cn, "atoms")  # per-frame, stays frame-sharded
@@ -203,6 +222,7 @@ def _make_step(
         P(),  # species_idx
         P(),  # cutoff_matrix
         P(),  # masses
+        P("frames"),  # weights
     )
     out_specs = {
         "rdf_counts": P(),
@@ -429,6 +449,7 @@ class FusedAnalysis:
         args = (
             positions, np.asarray(batch.cell), volumes,
             species_idx, cutoff_matrix, masses,
+            np.ones(batch.num_frames, positions.dtype),
         )
         meta = {
             "unique": unique, "bins": bins, "rmax": rmax,
@@ -468,13 +489,17 @@ class FusedAnalysis:
                 break
         # pair steps are compiled per neighbor capacity, lazily: a
         # single crowded atom anywhere in a long trajectory must not
-        # force the doubled-capacity (2x-cost) BAD tables on EVERY
-        # frame — only the dispatch groups that actually overflow
-        # escalate (measured: K=8 suffices for 128 north-star frames
-        # but one atom in 256 overflows, and the global K=16 retry
-        # doubled the whole BAD stage). Escalations are REMEMBERED per
-        # group across calls (capacity requirements are a property of
-        # the data): repeated runs skip the failed base-capacity probe.
+        # force the doubled-capacity (2x-cost) BAD tables on ANY clean
+        # frame (measured: K=8 suffices for 128 north-star frames but
+        # one atom in 256 overflows, and escalating that whole group to
+        # K=16 cost +10 ms/frame on it). Flagged frames self-mask their
+        # BAD contribution inside the step (see _make_step), so the
+        # first pass is already correct-and-complete for every clean
+        # frame; only the flagged frames rerun, in f_ax-frame padded
+        # blocks at doubled capacity. A group where > 1/4 of frames
+        # flag escalates wholesale instead (per-frame dispatch overhead
+        # would exceed the escalation cost) and is REMEMBERED across
+        # calls (capacity requirements are a property of the data).
         pair_steps = {}
         group_caps = {}
 
@@ -513,7 +538,7 @@ class FusedAnalysis:
             meta["msd_atoms_per_call"] = a_blk
 
         def chunked_step(positions, cells, volumes, species_idx,
-                         cutoff_matrix, masses):
+                         cutoff_matrix, masses, weights):
             rdf = np.zeros(0)
             bad_c = bad_a = None
             cn_parts = []
@@ -524,14 +549,17 @@ class FusedAnalysis:
                     out = get_pair_step(k_cap)(
                         positions[i:i + fpc], cells[i:i + fpc],
                         volumes[i:i + fpc], species_idx, cutoff_matrix,
-                        masses,
+                        masses, weights[i:i + fpc],
                     )
+                    ovf_g = np.asarray(out["bad_overflow"]) != 0
                     if (not self.with_bad
-                            or not np.asarray(out["bad_overflow"]).any()
+                            or np.count_nonzero(ovf_g) <= fpc // 4
                             or k_cap >= 1024):
                         break
-                    k_cap *= 2  # this group only; never truncate
-                group_caps[i] = k_cap
+                    # dense overflow: this data genuinely needs a
+                    # bigger table — escalate the whole group
+                    k_cap *= 2
+                    group_caps[i] = k_cap
                 if i == 0:
                     rdf = np.zeros(
                         np.asarray(out["rdf_counts"]).shape, np.float64
@@ -546,16 +574,61 @@ class FusedAnalysis:
                 rdf += np.asarray(out["rdf_counts"], np.float64)
                 bad_c += np.asarray(out["bad_concrete"], np.float64)
                 bad_a += np.asarray(out["bad_center_any"], np.float64)
-                cn_parts.append(np.asarray(out["cn_counts"]))
-                ovf_parts.append(np.asarray(out["bad_overflow"]))
+                cn_parts.append(np.array(out["cn_counts"]))
+                ovf_parts.append(np.array(out["bad_overflow"]))
+            cn_all = np.concatenate(cn_parts)
+            ovf_all = np.concatenate(ovf_parts)
+
+            # sparse rerun: flagged frames contributed ZERO to the BAD
+            # sums (self-masked on device), so rerunning them at doubled
+            # capacity and adding their histograms is exact. RDF was
+            # already complete (it never uses the neighbor table) — the
+            # rerun's rdf_counts are discarded; CN rows (which the BAD
+            # table's verification pass emits, exact only without
+            # overflow) are replaced. Blocks are f_ax frames (the
+            # smallest the mesh admits), padded by repeating the last
+            # frame at weight 0.
+            flagged = np.flatnonzero(ovf_all) if self.with_bad else []
+            k_re = self.max_neighbors
+            while len(flagged) and k_re < 1024:
+                k_re *= 2
+                still = []
+                rb = f_ax
+                for b in range(0, len(flagged), rb):
+                    idx = flagged[b:b + rb]
+                    n_live = len(idx)
+                    idx_p = np.concatenate(
+                        [idx, np.full(rb - n_live, idx[-1])]
+                    ).astype(np.intp)
+                    w = np.zeros(rb, positions.dtype)
+                    w[:n_live] = weights[idx]
+                    out = get_pair_step(k_re)(
+                        positions[idx_p], cells[idx_p], volumes[idx_p],
+                        species_idx, cutoff_matrix, masses, w,
+                    )
+                    bad_c += np.asarray(out["bad_concrete"], np.float64)
+                    bad_a += np.asarray(
+                        out["bad_center_any"], np.float64
+                    )
+                    ovf2 = np.asarray(out["bad_overflow"]) != 0
+                    cn_re = np.asarray(out["cn_counts"])
+                    for j, frame in enumerate(idx):
+                        if ovf2[j]:
+                            still.append(frame)  # self-masked again
+                        else:
+                            cn_all[frame] = cn_re[j]
+                            ovf_all[frame] = 0
+                flagged = np.asarray(still, dtype=np.int64)
+
             result = {
                 "rdf_counts": rdf,
-                "cn_counts": np.concatenate(cn_parts),
+                "cn_counts": cn_all,
                 "bad_concrete": bad_c,
                 "bad_center_any": bad_a,
-                # per-frame flags; all-False unless a group hit the
-                # runaway capacity bound (escalation resolves misses)
-                "bad_overflow": np.concatenate(ovf_parts),
+                # per-frame flags; all-False unless a frame still
+                # overflowed at the runaway capacity bound (the sparse
+                # rerun resolves ordinary misses)
+                "bad_overflow": ovf_all,
             }
             if self.with_msd:
                 com_s = np.zeros((n_frames, 3), np.float64)

@@ -1335,8 +1335,14 @@ def surface_valid_columns(
     )
 
     n_z = -(-col_cap // chunk)
-    cc = jnp.arange(n_cols * n_z, dtype=jnp.int32) // n_z
-    zi = jnp.arange(n_cols * n_z, dtype=jnp.int32) % n_z
+    # BAND-MAJOR slot order (z-chunk index minor): candidate atoms sort
+    # to the front of each column, so the chunks that must run the
+    # blocker pass concentrate in band 0 (slots [0, n_cols)) — the
+    # step-level skip below then takes its branch on ~n_cols/c_batch
+    # contiguous steps instead of scattering taken branches (each taken
+    # conditional pays real dispatch overhead) across the whole map
+    cc = jnp.arange(n_cols * n_z, dtype=jnp.int32) % n_cols
+    zi = jnp.arange(n_cols * n_z, dtype=jnp.int32) // n_cols
     natural = (c_bounds[cc] + zi * chunk).astype(jnp.int32)
     row_end = c_bounds[cc + 1].astype(jnp.int32)
     row0 = jnp.minimum(natural, jnp.maximum(n - chunk, 0))
@@ -1361,17 +1367,29 @@ def surface_valid_columns(
         axis=1,
     )  # [C, 2]
 
-    def chunk_counts(args):
-        r0, vlo, vhi, st3, center = args
+    k_dirs = dirs.shape[0]
+    nudge_f = matvec3(dirs * jnp.float32(0.2), inv_cell)  # [K, 3]
+
+    def linear_idx(fpts):
+        f = fpts - jnp.floor(fpts)
+        idx = jnp.minimum((f * gvec).astype(jnp.int32), gvec - 1)
+        return (
+            idx[..., 0] * grid[1] + idx[..., 1]
+        ) * grid[2] + idx[..., 2]
+
+    def chunk_cheap(r0, vlo, vhi):
         pl = jax.lax.dynamic_slice(centers_pl, (0, r0), (6, chunk))
+        rows = r0 + jnp.arange(chunk, dtype=jnp.int32)
+        live = (rows >= vlo) & (rows < vhi)
+        cand_any = jnp.any((pl[5] > 0) & live)
+        return pl, live, cand_any
+
+    def chunk_heavy(pl, live, st3, center):
+        """Points + blocker-window validity for one chunk — only runs
+        for steps whose chunks contain a candidate atom."""
         fa = pl[:3].T  # [chunk, 3]
         ra = pl[3]
         gi = pl[4]
-        ca = pl[5]
-        rows = r0 + jnp.arange(chunk, dtype=jnp.int32)
-        live = (rows >= vlo) & (rows < vhi)
-        cand_any = jnp.any((ca > 0) & live)
-
         fa_u = jnp.concatenate(
             [fa[:, :2] - jnp.round(fa[:, :2] - center[None, :]),
              fa[:, 2:3]],
@@ -1381,60 +1399,38 @@ def surface_valid_columns(
         pts = (
             centers_cart[:, None, :]
             + (ra[:, None, None] + r_probe) * dirs[None]
-        ).reshape(chunk * dirs.shape[0], 3)  # [P, 3]
+        ).reshape(chunk * k_dirs, 3)  # [P, 3]
         fp = matvec3(pts, inv_cell)  # [P, 3]
-        gi_p = jnp.repeat(gi, dirs.shape[0])
+        gi_p = jnp.repeat(gi, k_dirs)
 
-        def blocker_pass(_):
-            # per-slice, per-axis accumulation: concatenating the three
-            # runs materializes [P, 3W, 3] difference tensors that spill
-            valid = None
-            for s in range(3):
-                cnd = jax.lax.dynamic_slice(
-                    blockers_pl, (0, st3[s]), (5, window)
-                )
-                wxy = cnd[:2] - jnp.round(cnd[:2] - center[:, None])
-                wz = cnd[2]
-                wr = cnd[3]
-                wg = cnd[4]
-                w_cart = matvec3(
-                    jnp.concatenate([wxy, wz[None]], axis=0).T, cell
-                )  # [W, 3]
-                zshift = jnp.round(fp[:, 2:3] - wz[None, :])  # [P, W]
-                dxc = pts[:, 0:1] - w_cart[None, :, 0] - zshift * cell_z[0]
-                dyc = pts[:, 1:2] - w_cart[None, :, 1] - zshift * cell_z[1]
-                dzc = pts[:, 2:3] - w_cart[None, :, 2] - zshift * cell_z[2]
-                d2 = dxc * dxc + dyc * dyc + dzc * dzc  # [P, W]
-                thr2 = (wr + jnp.float32(r_probe - 1e-4)) ** 2
-                self_m = wg[None, :] == gi_p[:, None]
-                thr2 = jnp.where(self_m, -1.0, thr2[None, :])
-                ok = jnp.all(d2 > thr2, axis=-1)
-                valid = ok if valid is None else (valid & ok)
-            return valid
+        # per-slice, per-axis accumulation: concatenating the three
+        # runs materializes [P, 3W, 3] difference tensors that spill
+        valid = None
+        for s in range(3):
+            cnd = jax.lax.dynamic_slice(
+                blockers_pl, (0, st3[s]), (5, window)
+            )
+            wxy = cnd[:2] - jnp.round(cnd[:2] - center[:, None])
+            wz = cnd[2]
+            wr = cnd[3]
+            wg = cnd[4]
+            w_cart = matvec3(
+                jnp.concatenate([wxy, wz[None]], axis=0).T, cell
+            )  # [W, 3]
+            zshift = jnp.round(fp[:, 2:3] - wz[None, :])  # [P, W]
+            dxc = pts[:, 0:1] - w_cart[None, :, 0] - zshift * cell_z[0]
+            dyc = pts[:, 1:2] - w_cart[None, :, 1] - zshift * cell_z[1]
+            dzc = pts[:, 2:3] - w_cart[None, :, 2] - zshift * cell_z[2]
+            d2 = dxc * dxc + dyc * dyc + dzc * dzc  # [P, W]
+            thr2 = (wr + jnp.float32(r_probe - 1e-4)) ** 2
+            self_m = wg[None, :] == gi_p[:, None]
+            thr2 = jnp.where(self_m, -1.0, thr2[None, :])
+            ok = jnp.all(d2 > thr2, axis=-1)
+            valid = ok if valid is None else (valid & ok)
 
-        # chunks with no candidate atom cannot contribute: skip the
-        # [P, 3W] blocker-distance work (a real branch — this runs
-        # inside the sequential lax.map below)
-        valid = jax.lax.cond(
-            cand_any, blocker_pass,
-            lambda _: jnp.zeros((chunk * dirs.shape[0],), bool),
-            operand=None,
-        )
-        valid = valid.reshape(chunk, dirs.shape[0]) & live[:, None]
-        fp = fp.reshape(chunk, dirs.shape[0], 3)
-        nudge = fp + matvec3(dirs * 0.2, inv_cell)[None]
-
-        def linear_idx(fpts):
-            f = fpts - jnp.floor(fpts)
-            idx = jnp.minimum((f * gvec).astype(jnp.int32), gvec - 1)
-            return (
-                idx[..., 0] * grid[1] + idx[..., 1]
-            ) * grid[2] + idx[..., 2]
-
-        gi_out = jnp.where(live, gi, -1.0)
-        return (
-            valid, linear_idx(fp), linear_idx(nudge), gi_out, ra,
-        )
+        valid = valid.reshape(chunk, k_dirs) & live[:, None]
+        fp = fp.reshape(chunk, k_dirs, 3)
+        return valid, linear_idx(fp), linear_idx(fp + nudge_f[None])
 
     # fat steps: several chunks per map iteration (thin steps cost
     # real loop overhead on TPU)
@@ -1444,11 +1440,40 @@ def surface_valid_columns(
     )
 
     def batch_counts(args):
-        outs = [
-            chunk_counts(tuple(a[t] for a in args))
+        r0b, vlob, vhib, st3b, centerb = args
+        cheap = [
+            chunk_cheap(r0b[t], vlob[t], vhib[t])
             for t in range(c_batch)
         ]
-        return tuple(jnp.stack(o) for o in zip(*outs))
+        pred = cheap[0][2]
+        for t in range(1, c_batch):
+            pred = pred | cheap[t][2]
+
+        def heavy(_):
+            outs = [
+                chunk_heavy(cheap[t][0], cheap[t][1], st3b[t],
+                            centerb[t])
+                for t in range(c_batch)
+            ]
+            return tuple(jnp.stack(o) for o in zip(*outs))
+
+        def skip(_):
+            return (
+                jnp.zeros((c_batch, chunk, k_dirs), bool),
+                jnp.zeros((c_batch, chunk, k_dirs), jnp.int32),
+                jnp.zeros((c_batch, chunk, k_dirs), jnp.int32),
+            )
+
+        # one conditional per STEP: a taken branch pays real dispatch
+        # overhead (~50 us measured via per-chunk conds), so branch on
+        # whole steps — band-major slot order clusters candidate chunks
+        # into the first n_cols slots, making non-band-0 steps all-skip
+        valid, i1, i2 = jax.lax.cond(pred, heavy, skip, operand=None)
+        gi_out = jnp.stack([
+            jnp.where(c[1], c[0][4], -1.0) for c in cheap
+        ])
+        ra = jnp.stack([c[0][3] for c in cheap])
+        return valid, i1, i2, gi_out, ra
 
     batched = tuple(
         a.reshape(-1, c_batch, *a.shape[1:])

@@ -132,6 +132,42 @@ class TestFusedPipeline:
                 out[key], out_ref[key], rtol=1e-6, err_msg=key
             )
 
+    def test_chunked_sparse_overflow_rerun(self):
+        """ONE crowded frame in a clean trajectory: the flagged frame
+        self-masks its BAD/CN contribution on device and is rerun in a
+        small padded block at doubled capacity — the group's clean
+        frames never pay the doubled table, and the result equals a
+        full-capacity run exactly."""
+        from amof_tpu.core.frames import FrameBatch
+
+        rng = np.random.default_rng(11)
+        n_f, n_a, box = 16, 64, 24.0
+        species = np.array([30] * 16 + [7] * 48, np.int32)
+        pos = rng.uniform(0, box, (n_f, n_a, 3)).astype(np.float32)
+        # frame 5: 12 N atoms collapse around a Zn -> > 8 neighbors
+        pos[5, 16:28] = pos[5, 0] + rng.normal(0, 0.5, (12, 3))
+        cells = np.tile(np.eye(3, dtype=np.float32) * box, (n_f, 1, 1))
+        batch = FrameBatch(
+            pos % box, cells, species, np.arange(n_f, dtype=np.int32)
+        )
+        mesh = analysis_mesh(8, frames_axis=4)
+        kw = dict(dr=0.2, dtheta=2.0, chunk=16, method="scatter",
+                  with_msd=False)
+        ref = FusedAnalysis({"Zn-N": 2.8}, max_neighbors=32, **kw)
+        out_ref, _ = ref.run(batch, mesh=mesh)
+        assert not np.asarray(out_ref["bad_overflow"]).any()
+        small = FusedAnalysis({"Zn-N": 2.8}, max_neighbors=8,
+                              frames_per_call=2, **kw)
+        out, _ = small.run(batch, mesh=mesh)
+        # the rerun resolved the flag; histograms and the flagged
+        # frame's CN row match full capacity bit for bit
+        assert not np.asarray(out["bad_overflow"]).any()
+        for key in ("rdf_counts", "bad_concrete", "bad_center_any",
+                    "cn_counts"):
+            np.testing.assert_allclose(
+                out[key], out_ref[key], rtol=1e-6, err_msg=key
+            )
+
     def test_chunked_long_trajectory_msd(self):
         """F=4096, A=512: the atom-blocked MSD path at a long-time
         shape equals the monolithic result (SURVEY §5.7 'Done'
