@@ -57,6 +57,7 @@ def _make_step(
     with_msd: bool,
     origin_policy: str,
     bad_window: Optional[int],
+    with_rdf: bool = True,
 ):
     frames_ax = mesh.shape["frames"]
     atoms_ax = mesh.shape["atoms"]
@@ -87,10 +88,16 @@ def _make_step(
 
         def per_frame(args):
             pos, cell, vol = args
-            rdf = vol * pair_engine.frame_rdf_counts(
-                pos, cell, species_idx, dr, n_species, bins,
-                chunk=chunk, method=method, i_start=i0, n_i=a_local,
-            )
+            if with_rdf:
+                rdf = vol * pair_engine.frame_rdf_counts(
+                    pos, cell, species_idx, dr, n_species, bins,
+                    chunk=chunk, method=method, i_start=i0, n_i=a_local,
+                )
+            else:
+                # BAD-only rerun step (chunked path): the first pass's
+                # RDF was already complete for flagged frames, so the
+                # rerun skips the whole pair-histogram pass
+                rdf = jnp.zeros((1,), jnp.float32)
             if with_bad and bad_window is not None:
                 # the BAD table's verification pass emits CN for free;
                 # the compaction itself rides the Mosaic kernel whenever
@@ -495,23 +502,24 @@ class FusedAnalysis:
         # K=16 cost +10 ms/frame on it). Flagged frames self-mask their
         # BAD contribution inside the step (see _make_step), so the
         # first pass is already correct-and-complete for every clean
-        # frame; only the flagged frames rerun, in f_ax-frame padded
-        # blocks at doubled capacity. A group where > 1/4 of frames
-        # flag escalates wholesale instead (per-frame dispatch overhead
-        # would exceed the escalation cost) and is REMEMBERED across
-        # calls (capacity requirements are a property of the data).
+        # frame; only the flagged frames rerun, in power-of-two padded
+        # blocks at doubled capacity with the RDF pass skipped. A group
+        # where > 1/2 of frames flag escalates wholesale instead and is
+        # REMEMBERED across calls (capacity requirements are a property
+        # of the data).
         pair_steps = {}
         group_caps = {}
 
-        def get_pair_step(k_cap):
-            if k_cap not in pair_steps:
-                pair_steps[k_cap] = _make_step(
+        def get_pair_step(k_cap, with_rdf=True):
+            key = (k_cap, with_rdf)
+            if key not in pair_steps:
+                pair_steps[key] = _make_step(
                     mesh, n_species, bins, float(self.dr), bad_bins,
                     float(self.dtheta), k_cap, self.chunk, method,
                     n_pad, self.with_bad, False, self.origin_policy,
-                    bad_window,
+                    bad_window, with_rdf=with_rdf,
                 )
-            return pair_steps[k_cap]
+            return pair_steps[key]
 
         meta["frames_per_call"] = fpc
 
@@ -543,23 +551,37 @@ class FusedAnalysis:
             bad_c = bad_a = None
             cn_parts = []
             ovf_parts = []
+            # dispatch every group BEFORE pulling any result: jax
+            # dispatch is async, so the device pipelines group i+1's
+            # compute behind group i's output transfer instead of
+            # idling through it (per-group pulls are ~0.4 MB through a
+            # ~10 MB/s tunnel — serialized, that is ~40 ms of dead
+            # device time per group)
+            pending = []
             for i in range(0, n_frames, fpc):
                 k_cap = group_caps.get(i, self.max_neighbors)
-                while True:
+                pending.append((i, k_cap, get_pair_step(k_cap)(
+                    positions[i:i + fpc], cells[i:i + fpc],
+                    volumes[i:i + fpc], species_idx, cutoff_matrix,
+                    masses, weights[i:i + fpc],
+                )))
+            for i, k_cap, out in pending:
+                # break-even vs the BAD-only rerun (which skips the
+                # RDF pass): escalating the whole remembered group
+                # to 2K only wins when over ~half its frames flag
+                while (self.with_bad
+                       and np.count_nonzero(
+                           np.asarray(out["bad_overflow"])) > fpc // 2
+                       and k_cap < 1024):
+                    # dense overflow: this data genuinely needs a
+                    # bigger table — escalate the whole group
+                    k_cap *= 2
+                    group_caps[i] = k_cap
                     out = get_pair_step(k_cap)(
                         positions[i:i + fpc], cells[i:i + fpc],
                         volumes[i:i + fpc], species_idx, cutoff_matrix,
                         masses, weights[i:i + fpc],
                     )
-                    ovf_g = np.asarray(out["bad_overflow"]) != 0
-                    if (not self.with_bad
-                            or np.count_nonzero(ovf_g) <= fpc // 4
-                            or k_cap >= 1024):
-                        break
-                    # dense overflow: this data genuinely needs a
-                    # bigger table — escalate the whole group
-                    k_cap *= 2
-                    group_caps[i] = k_cap
                 if i == 0:
                     rdf = np.zeros(
                         np.asarray(out["rdf_counts"]).shape, np.float64
@@ -579,21 +601,27 @@ class FusedAnalysis:
             cn_all = np.concatenate(cn_parts)
             ovf_all = np.concatenate(ovf_parts)
 
-            # sparse rerun: flagged frames contributed ZERO to the BAD
+            # rerun of flagged frames: they contributed ZERO to the BAD
             # sums (self-masked on device), so rerunning them at doubled
-            # capacity and adding their histograms is exact. RDF was
-            # already complete (it never uses the neighbor table) — the
-            # rerun's rdf_counts are discarded; CN rows (which the BAD
-            # table's verification pass emits, exact only without
-            # overflow) are replaced. Blocks are f_ax frames (the
-            # smallest the mesh admits), padded by repeating the last
-            # frame at weight 0.
+            # capacity and adding their histograms is exact. The rerun
+            # step skips RDF entirely (with_rdf=False — RDF never uses
+            # the neighbor table, so the first pass was complete); CN
+            # rows (which the BAD table's verification pass emits,
+            # exact only without overflow) are replaced. Block size is
+            # the flagged count rounded up to a power-of-two multiple
+            # of f_ax (capped at 16*f_ax): one dispatch covers the
+            # common few-frame case without paying 16 frames of padded
+            # compute when only one frame flagged, and at most ~5 block
+            # shapes ever compile. Pads repeat the last frame at
+            # weight 0.
             flagged = np.flatnonzero(ovf_all) if self.with_bad else []
             k_re = self.max_neighbors
             while len(flagged) and k_re < 1024:
                 k_re *= 2
                 still = []
                 rb = f_ax
+                while rb < min(len(flagged), 16 * f_ax):
+                    rb *= 2
                 for b in range(0, len(flagged), rb):
                     idx = flagged[b:b + rb]
                     n_live = len(idx)
@@ -602,7 +630,7 @@ class FusedAnalysis:
                     ).astype(np.intp)
                     w = np.zeros(rb, positions.dtype)
                     w[:n_live] = weights[idx]
-                    out = get_pair_step(k_re)(
+                    out = get_pair_step(k_re, with_rdf=False)(
                         positions[idx_p], cells[idx_p], volumes[idx_p],
                         species_idx, cutoff_matrix, masses, w,
                     )
@@ -631,22 +659,28 @@ class FusedAnalysis:
                 "bad_overflow": ovf_all,
             }
             if self.with_msd:
+                # same async-dispatch pattern as the pair groups: queue
+                # every block, then pull
+                com_out = [
+                    com_fn(positions[:, b:b + a_blk], masses[b:b + a_blk])
+                    for b in range(0, n_pad, a_blk)
+                ]
                 com_s = np.zeros((n_frames, 3), np.float64)
                 com_m = 0.0
-                for b in range(0, n_pad, a_blk):
-                    s, m = com_fn(
-                        positions[:, b:b + a_blk], masses[b:b + a_blk]
-                    )
+                for s, m in com_out:
                     com_s += np.asarray(s, np.float64)
                     com_m += float(m)
                 com = (com_s / com_m).astype(positions.dtype)
-                sums = np.zeros((n_frames, n_species), np.float64)
-                n_sp = np.zeros((n_species,), np.float64)
-                for b in range(0, n_pad, a_blk):
-                    s, ns = msd_fn(
+                msd_out = [
+                    msd_fn(
                         positions[:, b:b + a_blk], masses[b:b + a_blk],
                         species_idx[b:b + a_blk], cells, com,
                     )
+                    for b in range(0, n_pad, a_blk)
+                ]
+                sums = np.zeros((n_frames, n_species), np.float64)
+                n_sp = np.zeros((n_species,), np.float64)
+                for s, ns in msd_out:
                     sums += np.asarray(s, np.float64)
                     n_sp += np.asarray(ns, np.float64)
                 origins = (n_frames - np.arange(n_frames)).astype(
