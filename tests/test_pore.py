@@ -962,6 +962,46 @@ class TestTwoLevelWindow:
         np.testing.assert_allclose(np.asarray(d2), ref, atol=1e-5)
 
 
+class TestFactorizedVoxelMasks:
+    """The z-factorized quadratic voxel pass in void_masks_columns
+    (QQ + 2*QZ*u + a*u^2 per subcolumn/candidate) must be BIT-EXACT
+    against thresholding the brute-force distance grid — tolerance
+    tests elsewhere could hide single-voxel flips."""
+
+    @pytest.mark.parametrize("tric", [False, True])
+    def test_masks_match_distance_grid(self, tric):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11 + tric)
+        n, boxd = 4096, 30.0
+        frac = rng.random((n, 3)).astype(np.float32)
+        cell = np.eye(3, dtype=np.float32) * boxd
+        if tric:
+            cell[1, 0] = 2.5
+            cell[2, 0] = -1.5
+            cell[2, 1] = 3.0
+        radii = rng.uniform(1.2, 1.9, n).astype(np.float32)
+        probe, chan = (1.4, 1.1) if tric else (1.21, 1.21)
+        plan = grid_kernel.xycol_plan(
+            cell, float(radii.max()), max(probe, chan) + 1e-3,
+            (24, 24, 24), n,
+        )
+        assert plan is not None
+        grid = plan["grid"]
+        m_probe, m_chan, _, missed = grid_kernel.void_masks_columns(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            grid, probe=probe, chan=chan,
+            nbx=plan["nbx"], nby=plan["nby"], window=plan["window"],
+        )
+        assert not bool(np.asarray(missed))
+        dist = np.asarray(grid_kernel.distance_grid(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            grid,
+        ))
+        np.testing.assert_array_equal(np.asarray(m_probe), dist >= probe)
+        np.testing.assert_array_equal(np.asarray(m_chan), dist >= chan)
+
+
 class TestBatchedPoreMesh:
     def test_mesh_invariance(self):
         """BatchedPore results are identical on 1- and 8-device meshes
