@@ -94,6 +94,29 @@ def make_porous_supercell(n_frames, target_atoms=10240, seed=1,
     ), len(pos)
 
 
+def init_devices(retries=8, wait=75):
+    """First-touch backend init with retries: the tunneled TPU backend
+    intermittently raises UNAVAILABLE while the remote worker restarts;
+    a transient grant failure must not abort the whole benchmark."""
+    import jax
+
+    for i in range(retries):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if i == retries - 1:
+                raise
+            print(f"bench: backend init failed ({e}); "
+                  f"retry {i + 1}/{retries} in {wait}s", file=sys.stderr)
+            try:
+                from jax._src import xla_bridge as _xb
+                _xb._clear_backends()
+                _xb._backend_errors.clear()
+            except Exception:
+                pass
+            time.sleep(wait)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=256)
@@ -151,6 +174,7 @@ def main():
     from amof_tpu.parallel.mesh import analysis_mesh
     from amof_tpu.parallel.pipeline import FusedAnalysis
 
+    init_devices()
     if args.method is None and jax.default_backend() != "cpu":
         args.method = "pallas"  # fused Mosaic RDF kernel (frames-only mesh)
 
