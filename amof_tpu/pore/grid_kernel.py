@@ -1290,8 +1290,9 @@ def surface_valid_columns(
 
     Returns (valid bool[S, K], idx_pt i32[S, K], idx_nudge i32[S, K],
     orig_idx i32[S], radii f32[S], missed bool[]) in slot order,
-    S = n_cols * ceil(col_cap/chunk) * chunk; padding slots carry
-    orig_idx -1 and valid False.
+    S = (n_cols * ceil(col_cap/chunk), rounded up to a multiple of
+    the step batch) * chunk; padding slots carry orig_idx -1 and
+    valid False.
     """
     n = frac_atoms.shape[0]
     inv_cell = jnp.linalg.inv(cell)
@@ -1480,11 +1481,24 @@ def surface_valid_columns(
         return valid, linear_idx(fp), linear_idx(fp + nudge_f[None])
 
     # fat steps: several chunks per map iteration (thin steps cost
-    # real loop overhead on TPU)
+    # real loop overhead on TPU, ~3-5 us/step, and each step whose
+    # conditional TAKES the heavy branch pays ~50 us of dispatch).
+    # Pad the slot count to a multiple of 8 with empty slots
+    # (valid_lo == valid_hi == 0 -> live False, cand_any False: the
+    # skip branch, zero contribution) instead of letting divisibility
+    # force a small batch: 81 cols x 7 z-chunks = 567 slots would
+    # otherwise drop to c_batch=3 (189 steps, ~27 taken branches in
+    # band 0) where padding to 568 keeps c_batch=8 (71 steps, ~11).
     n_chunks_tot = n_cols * n_z
-    c_batch = next(
-        (b for b in (8, 6, 4, 3, 2, 1) if n_chunks_tot % b == 0), 1
-    )
+    c_batch = 8
+    pad = (-n_chunks_tot) % c_batch
+    if pad:
+        zi32 = jnp.zeros(pad, jnp.int32)
+        row0 = jnp.concatenate([row0, zi32])
+        valid_lo = jnp.concatenate([valid_lo, zi32])
+        valid_hi = jnp.concatenate([valid_hi, zi32])
+        st = jnp.concatenate([st, jnp.zeros((pad, 3), jnp.int32)])
+        uc = jnp.concatenate([uc, jnp.zeros((pad, 2), jnp.float32)])
 
     def batch_counts(args):
         r0b, vlob, vhib, st3b, centerb = args
@@ -1527,7 +1541,7 @@ def surface_valid_columns(
         for a in (row0, valid_lo, valid_hi, st, uc)
     )
     valid, i_pt, i_nu, gis, rs = jax.lax.map(batch_counts, batched)
-    s_tot = n_cols * n_z * chunk
+    s_tot = (n_chunks_tot + pad) * chunk
     k = dirs.shape[0]
     return (
         valid.reshape(s_tot, k), i_pt.reshape(s_tot, k),
