@@ -1002,6 +1002,43 @@ class TestFactorizedVoxelMasks:
         np.testing.assert_array_equal(np.asarray(m_chan), dist >= chan)
 
 
+class TestSurfaceSlotPadding:
+    def test_padded_slots_contribute_nothing(self):
+        """surface_valid_columns pads its slot count to a multiple of
+        the step batch (8) with empty slots; per-atom results must be
+        identical between a col_cap whose slot count needs padding
+        (224 -> 36*7=252, pad 4) and one that does not (192 -> 216)."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        n, box = 4096, 41.0
+        frac = rng.random((n, 3)).astype(np.float32)
+        frac[:, 2] *= 0.7  # void slab: nonzero surface
+        cell = np.eye(3, dtype=np.float32) * box
+        radii = rng.uniform(1.2, 1.9, n).astype(np.float32)
+        dirs = jnp.asarray(grid_kernel.fibonacci_sphere(8))
+        grid = (24, 24, 24)
+
+        def per_atom(col_cap):
+            valid, i1, i2, gis, rs, missed = (
+                grid_kernel.surface_valid_columns(
+                    jnp.asarray(frac), jnp.asarray(cell),
+                    jnp.asarray(radii), 1.2, dirs, grid,
+                    nbx=6, nby=6, window=600, chunk=32,
+                    col_cap=col_cap,
+                )
+            )
+            assert not bool(np.asarray(missed))
+            gis, valid = np.asarray(gis), np.asarray(valid)
+            counts = np.zeros(n, np.int64)
+            np.add.at(counts, gis[gis >= 0], valid.sum(1)[gis >= 0])
+            # every real atom appears in exactly one live slot
+            assert np.bincount(gis[gis >= 0], minlength=n).max() == 1
+            return counts
+
+        np.testing.assert_array_equal(per_atom(192), per_atom(224))
+
+
 class TestBatchedPoreMesh:
     def test_mesh_invariance(self):
         """BatchedPore results are identical on 1- and 8-device meshes
