@@ -144,6 +144,7 @@ def frame_bad_counts(
             chunk, window, i_start=i_start, n_i=n_i, emit_cn=emit_cn,
             impl=table_impl,
         )
+    assert k_cap >= 2, "angle triplets need >= 2 neighbor slots"
     inv_cell = jnp.linalg.inv(cell)
     s2 = n_species * n_species
     cn_slots = (k_cap + 1) if by_cn else 1
@@ -163,28 +164,39 @@ def frame_bad_counts(
         vec = min_image_delta(pj - pi[:, None, :], cell, inv_cell)
         norm = jnp.sqrt(jnp.sum(vec * vec, axis=-1))
         unit = vec / jnp.maximum(norm, 1e-12)[..., None]
+
+        # Triangle (k < l) slot-pair enumeration via static diagonal
+        # slices: pairs at offset d are (slice[:-d], slice[d:]). This
+        # enumerates each unordered pair exactly once — T = K(K-1)/2
+        # columns instead of the K^2 grid the kk<ll mask would carve
+        # half-dead — halving both the angle math and the per-key MXU
+        # one-hot histogram traffic. Static slices + one concat: no
+        # gathers (small strided gathers serialize on TPU; CLAUDE.md).
+        def tri(x):
+            return jnp.concatenate(
+                [x[:, : k_cap - d] for d in range(1, k_cap)], axis=1
+            )
+
+        def tri_hi(x):
+            return jnp.concatenate(
+                [x[:, d:] for d in range(1, k_cap)], axis=1
+            )
+
+        uk, ul = tri(unit), tri_hi(unit)  # [chunk, T, 3]
+        sk, sl = tri(sj), tri_hi(sj)  # [chunk, T]
         # elementwise contraction over coords (full f32; see
         # pair_engine.matvec3 for why not einsum/dot)
-        cosang = jnp.sum(unit[:, :, None, :] * unit[:, None, :, :], axis=-1)
+        cosang = jnp.sum(uk * ul, axis=-1)
         theta = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
         tbin = jnp.minimum(jnp.floor(theta / dtheta).astype(jnp.int32),
                            bins - 1)
 
-        kk = jax.lax.broadcasted_iota(jnp.int32, (chunk, k_cap, k_cap), 1)
-        ll = jax.lax.broadcasted_iota(jnp.int32, (chunk, k_cap, k_cap), 2)
-        pair_valid = (
-            (kk < ll)
-            & slot_valid[:, :, None]
-            & slot_valid[:, None, :]
-            & (si >= 0)[:, None, None]
-        )
+        pair_valid = (sk >= 0) & (sl >= 0) & (si >= 0)[:, None]
 
         # concrete: both outers share species b
-        sjk = sj[:, :, None]  # species of slot k
-        sjl = sj[:, None, :]
-        same = pair_valid & (sjk == sjl) & (sjk >= 0)
-        b_sp = jnp.maximum(sjk, 0)
-        a_sp = jnp.maximum(si, 0)[:, None, None]
+        same = pair_valid & (sk == sl)
+        b_sp = jnp.maximum(sk, 0)
+        a_sp = jnp.maximum(si, 0)[:, None]
 
         if by_cn:
             # per-(center, b) neighbor counts: cn_b[chunk, S]
@@ -193,15 +205,8 @@ def frame_bad_counts(
                 == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_species), 2)
             )
             cn_b = jnp.sum(onehot_sj, axis=1).astype(jnp.int32)  # [chunk, S]
-            pair_species = jnp.broadcast_to(
-                jnp.maximum(sjk, 0), (chunk, k_cap, k_cap)
-            )
-            cn_of_pair = jnp.take_along_axis(
-                cn_b, pair_species.reshape(chunk, -1), axis=1
-            ).reshape(chunk, k_cap, k_cap)
-            cn_all = jnp.broadcast_to(
-                cnt[:, None, None], (chunk, k_cap, k_cap)
-            )
+            cn_of_pair = jnp.take_along_axis(cn_b, b_sp, axis=1)  # [chunk, T]
+            cn_all = jnp.broadcast_to(cnt[:, None], b_sp.shape)
         else:
             cn_of_pair = 0
             cn_all = 0
