@@ -57,6 +57,7 @@ def _make_columns_frame_fn(
     probe: float,
     chan: float,
     mc_points=None,  # (pts_tiled f32[T,P,3], weights f32[T,P], n_real)
+    emit_faces: bool = False,
 ):
     """Per-frame traced function on the sorted-xy-column path:
     (pos, cell, volume) -> (asa, nasa, av, nav, missed).
@@ -84,9 +85,10 @@ def _make_columns_frame_fn(
             nbx=col_plan["nbx"], nby=col_plan["nby"],
             window=col_plan["window"], pts_tiled=pts_tiled,
         )
-        _, accessible, pocket = grid_kernel.void_classification_mask(
-            m_chan
+        cls = grid_kernel.void_classification_mask(
+            m_chan, return_faces=emit_faces
         )
+        _, accessible, pocket = cls[:3]
         if probe != chan:
             acc_fit = m_probe & accessible
             poc_fit = m_probe & ~accessible
@@ -124,11 +126,12 @@ def _make_columns_frame_fn(
         )
         asa = jnp.sum(areas * acc_c) / k
         nasa = jnp.sum(areas * nacc_c) / k
-        return (
+        out = (
             asa.astype(jnp.float32), nasa.astype(jnp.float32),
             av.astype(jnp.float32), nav.astype(jnp.float32),
             miss_d | miss_s,
         )
+        return out + (cls[3],) if emit_faces else out
 
     return frame_fn
 
@@ -146,6 +149,7 @@ def _make_frame_fn(
     #                    window int) -> -vol via MC instead of voxels
     dist2=None,  # (tvx, tvy, nbx, k_slabs, window2, dya): two-level
     #              (x-slab, y-window) distance grid
+    emit_faces: bool = False,
 ):
     """Per-frame traced function: (pos, cell, volume) ->
     (asa, nasa, av, nav, missed)."""
@@ -178,9 +182,10 @@ def _make_frame_fn(
             dist = grid_kernel.distance_grid(frac, cell, radii, grid)
             miss_d = jnp.zeros((), bool)
 
-        mask, accessible, pocket = grid_kernel.void_classification(
-            dist, chan
+        cls = grid_kernel.void_classification(
+            dist, chan, return_faces=emit_faces
         )
+        mask, accessible, pocket = cls[:3]
         if probe != chan:
             fit = dist >= probe
             acc_fit = fit & accessible
@@ -226,11 +231,12 @@ def _make_frame_fn(
         k = dirs.shape[0]
         asa = jnp.sum(areas * a_s) / k
         nasa = jnp.sum(areas * n_s) / k
-        return (
+        out = (
             asa.astype(jnp.float32), nasa.astype(jnp.float32),
             av.astype(jnp.float32), nav.astype(jnp.float32),
             miss_d | miss_s,
         )
+        return out + (cls[3],) if emit_faces else out
 
     return frame_fn
 
@@ -251,6 +257,7 @@ class BatchedPore:
         vol_method: str = "grid",
         conn_resolution: Optional[float] = None,
         window_scale: float = 1.0,
+        winding: str = "face",
     ):
         self.probe_radius = float(probe_radius)
         self.chan_radius = float(chan_radius)
@@ -293,6 +300,20 @@ class BatchedPore:
         # a trajectory's -vol column stays ONE estimator instead of
         # mixing MC with the fine-grid fallback)
         self.window_scale = float(window_scale)
+        # winding="face": the device same-label face test — exact for
+        # every single-wrap channel (all practical zeolite/MOF cases).
+        # winding="exact": the device pass additionally emits each
+        # frame's wrap-edge label pairs; the host displacement-vector
+        # analysis (pore/winding.py, Zeo++'s criterion) then CERTIFIES
+        # the face test per frame and recomputes any frame with a
+        # multi-wrap composite channel through the exact per-frame
+        # path. Zero device-side extra work; the certificate transfer
+        # costs one extra output array per dispatch.
+        if winding not in ("face", "exact"):
+            raise ValueError(
+                f"winding must be 'face' or 'exact', got {winding!r}"
+            )
+        self.winding = winding
 
     def prepare(self, batch, mesh=None):
         """Resolve static shapes; returns (step_fn, args, meta)."""
@@ -381,6 +402,7 @@ class BatchedPore:
             frame_fn = _make_columns_frame_fn(
                 jnp.asarray(radii), jnp.asarray(dirs), col_plan,
                 surf_plan, probe, chan, mc_points=mc_points,
+                emit_faces=self.winding == "exact",
             )
             return self._finalize(batch, mesh, frame_fn, grid, {
                 "col_plan": col_plan, "surf_plan": surf_plan, "k": k,
@@ -469,7 +491,7 @@ class BatchedPore:
         frame_fn = _make_frame_fn(
             jnp.asarray(radii), jnp.asarray(dirs), grid, probe, chan,
             dist_window, dxa, surf_window, mc_samples=mc_samples,
-            dist2=dist2,
+            dist2=dist2, emit_faces=self.winding == "exact",
         )
         return self._finalize(batch, mesh, frame_fn, grid, {
             "mass_amu": mass_amu, "volumes": volumes,
@@ -482,6 +504,7 @@ class BatchedPore:
         the mesh, chunk dispatches, and assemble (step_fn, args, meta).
         """
         volumes = extra_meta["volumes"]
+        emit_faces = self.winding == "exact"
 
         def step(positions, cells_f, volumes_f):
             out = jax.lax.map(frame_fn, (positions, cells_f, volumes_f))
@@ -490,16 +513,22 @@ class BatchedPore:
             # tunneled backend, so five per-frame outputs pulled
             # individually added ~4 ms/frame at 32-frame dispatches
             # (measured); rows are (asa, nasa, av, nav, missed)
-            return jnp.stack([
+            stacked = jnp.stack([
                 out[0], out[1], out[2], out[3],
                 out[4].astype(jnp.float32),
             ])
+            if emit_faces:
+                return stacked, out[5]  # faces i32[F_loc, 2, n_face]
+            return stacked
 
         step_fn = jax.jit(
             shard_map(
                 step, mesh=mesh,
                 in_specs=(P("frames"), P("frames"), P("frames")),
-                out_specs=P(None, "frames"),
+                out_specs=(
+                    (P(None, "frames"), P("frames")) if emit_faces
+                    else P(None, "frames")
+                ),
                 check_vma=False,
             )
         )
@@ -526,12 +555,18 @@ class BatchedPore:
                 )
                 for i in range(0, n_frames, fpc)
             ]
+            if emit_faces:
+                faces = np.concatenate(
+                    [np.asarray(o[1]) for o in outs], axis=0
+                )  # [n_frames, 2, n_face]
+                outs = [o[0] for o in outs]
             stacked = np.concatenate(
                 [np.asarray(o) for o in outs], axis=1
             )  # [5, n_frames]
-            return tuple(stacked[j] for j in range(4)) + (
+            out5 = tuple(stacked[j] for j in range(4)) + (
                 stacked[4] != 0,
             )
+            return out5 + (faces,) if emit_faces else out5
 
         args = (
             np.asarray(batch.positions, np.float32),
@@ -549,11 +584,11 @@ class BatchedPore:
         fields per frame (amof/pore/core.py:70-82 field names)."""
         batch = as_frame_batch(batch)
         step_fn, args, meta = self.prepare(batch, mesh)
+        out = step_fn(*args)
+        faces = out[5] if self.winding == "exact" else None
         # np.array (not asarray): numpy views of JAX arrays are
         # read-only and missed frames are patched in place below
-        asa, nasa, av, nav, missed = (
-            np.array(v) for v in step_fn(*args)
-        )
+        asa, nasa, av, nav, missed = (np.array(v) for v in out[:5])
         missed = missed.astype(bool)
         if missed.any():
             idx = np.nonzero(missed)[0]
@@ -577,6 +612,7 @@ class BatchedPore:
                     vol_method=self.vol_method,
                     conn_resolution=self.conn_resolution,
                     window_scale=self.window_scale * 2,
+                    winding=self.winding,
                 )
                 sub = batch._replace(
                     positions=np.asarray(batch.positions)[idx],
@@ -618,6 +654,43 @@ class BatchedPore:
                     )
                     asa[i], nasa[i] = out["ASA_A^2"], out["NASA_A^2"]
                     av[i], nav[i] = out["AV_A^3"], out["NAV_A^3"]
+
+        if faces is not None:
+            # winding="exact": the host displacement-vector analysis
+            # certifies the device face test from each frame's
+            # wrap-edge label pairs; a frame with a winding cluster the
+            # face test missed (multi-wrap composite channel) is
+            # recomputed through the exact per-frame path. Frames the
+            # miss fallback already recomputed went through that exact
+            # path and are skipped.
+            from amof_tpu.pore import winding as _winding
+            from amof_tpu.pore import zeopp
+
+            axis_ids = grid_kernel.face_axis_ids(meta["grid"])
+            flagged = [
+                i for i in range(len(missed))
+                if not missed[i]
+                and not _winding.face_test_is_exact(faces[i], axis_ids)
+            ]
+            if flagged:
+                logger.info(
+                    "face test missed a composite channel on %d/%d "
+                    "frames; recomputing them with the exact winding "
+                    "analysis", len(flagged), len(missed),
+                )
+            for i in flagged:
+                out = zeopp.analyze_frame(
+                    batch.frame(int(i)), sa=True, vol=True,
+                    probe_radius=self.probe_radius,
+                    chan_radius=self.chan_radius,
+                    num_samples=self.num_samples, radii=self.radii,
+                    resolution=self.resolution,
+                    grid=meta["grid"] if self.vol_method == "grid"
+                    else None,
+                    window=None,
+                )
+                asa[i], nasa[i] = out["ASA_A^2"], out["NASA_A^2"]
+                av[i], nav[i] = out["AV_A^3"], out["NAV_A^3"]
 
         volume = meta["volumes"].astype(np.float64)
         mass_g = meta["mass_amu"] * AMU_TO_G

@@ -50,7 +50,7 @@ class Pore:
 
     _BATCHABLE_KWARGS = frozenset(
         ("probe_radius", "chan_radius", "num_samples", "radii",
-         "resolution", "grid", "window")
+         "resolution", "grid", "window", "winding")
     )
 
     def compute_surface_volume(self, frames, step, parallel=False, **kwargs):
@@ -82,6 +82,9 @@ class Pore:
                 )
         from amof_tpu.parallel.host import parallel_map
 
+        # the per-frame path always runs the exact displacement-vector
+        # winding analysis; `winding` only selects the BATCHED policy
+        kwargs.pop("winding", None)
         results = parallel_map(
             lambda args: self.get_surface_volume(
                 args[1], step[args[0]], **kwargs

@@ -261,18 +261,53 @@ def winding_seeds(open_labels, mask):
     return seeds & mask
 
 
-def void_classification(dist, r_probe):
+def void_classification(dist, r_probe, return_faces: bool = False):
     """(mask, accessible, pocket) voxel masks for a probe radius."""
-    return void_classification_mask(dist >= r_probe)
+    return void_classification_mask(dist >= r_probe, return_faces)
 
 
-def void_classification_mask(mask):
-    """(mask, accessible, pocket) from a precomputed probe-fit mask."""
+def void_classification_mask(mask, return_faces: bool = False):
+    """(mask, accessible, pocket) from a precomputed probe-fit mask.
+
+    With ``return_faces`` additionally returns the wrap-edge label
+    pairs (``face_label_pairs`` of the open labels) so a host pass can
+    run the fully general displacement-vector winding analysis
+    (pore/winding.py) and certify — or correct — the face test's
+    classification per frame (BatchedPore(winding="exact"))."""
     open_labels = label_components(mask, periodic=False)
     seeds = winding_seeds(open_labels, mask)
     accessible = propagate_channel(seeds, mask)
     pocket = mask & ~accessible
+    if return_faces:
+        return mask, accessible, pocket, face_label_pairs(open_labels)
     return mask, accessible, pocket
+
+
+def face_label_pairs(open_labels):
+    """Wrap-edge label pairs of an open (aperiodic) component labeling:
+    i32[2, n_face] where column j is (label at the LAST slice, label at
+    the FIRST slice) of one periodic face position, concatenated over
+    the three axes in order. Together with ``face_axis_ids`` this is
+    the entire quotient graph of the periodic void network — every
+    inter-component edge crosses a face — so the host-side
+    displacement-vector analysis needs nothing else from the grid."""
+    a_parts, b_parts = [], []
+    for axis in range(3):
+        sl_last = [slice(None)] * 3
+        sl_last[axis] = -1
+        sl_first = [slice(None)] * 3
+        sl_first[axis] = 0
+        a_parts.append(open_labels[tuple(sl_last)].reshape(-1))
+        b_parts.append(open_labels[tuple(sl_first)].reshape(-1))
+    return jnp.stack(
+        [jnp.concatenate(a_parts), jnp.concatenate(b_parts)]
+    )
+
+
+def face_axis_ids(grid) -> np.ndarray:
+    """Axis id (0/1/2) of each ``face_label_pairs`` column."""
+    gx, gy, gz = grid
+    return np.repeat(np.arange(3), [gy * gz, gx * gz, gx * gy])
 
 
 @functools.partial(jax.jit, static_argnames=("steps",))

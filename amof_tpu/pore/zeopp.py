@@ -28,7 +28,8 @@ instead of a Voronoi network (see grid_kernel docstring):
   -mass -> per-element mass overrides as a {symbol: amu} dict (affects
           Density and every *_cm^3/g, *_m^2/g field)
   extra -> in-process subset: -gridG/-gridBOV (distance grid array),
-          -strinfo (structure summary); other flags raise
+          -strinfo (structure summary), -oms (open metal sites),
+          -axs (per-atom accessibility); other flags raise
   -volpo -> POAV_*: probe-occupiable volume = {d >= 0} voxels within
           r_probe of a probe-center voxel, split by accessibility
   -chan -> number of channels (distinct percolating components) and
@@ -419,7 +420,9 @@ def _run_extra_options(frame, extra: str, kwargs) -> Dict[str, float]:
     (amof/pore/pysimmzeopp.py:77,136-137). Supported: -gridG / -gridBOV
     (the distance grid the binary would write as a Gaussian-cube / BOV
     file — returned in-process as an array), -strinfo (structure
-    summary). Anything else raises NotImplementedError naming the flag.
+    summary), -oms (open-metal-site count), -axs (per-atom
+    accessibility array). Anything else raises NotImplementedError
+    naming the flag.
     """
     out: Dict[str, float] = {}
     tokens = extra.split()
@@ -457,6 +460,23 @@ def _run_extra_options(frame, extra: str, kwargs) -> Dict[str, float]:
             # leaves a probe-sized opening).
             out.update(_count_open_metal_sites(frame, kwargs))
             i += 1
+        elif flag == "-axs":
+            # per-atom accessibility (Zeo++ -axs <probe> <file>: one
+            # true/false line per atom). In-process contract: returned
+            # as a bool array instead of a file; an optional numeric
+            # token overrides the probe radius, a filename token is
+            # accepted and ignored.
+            i += 1
+            axs_kwargs = dict(kwargs)
+            while i < len(tokens) and not tokens[i].startswith("-"):
+                try:
+                    axs_kwargs["probe_radius"] = float(tokens[i])
+                except ValueError:
+                    pass  # output filename — in-process, ignored
+                i += 1
+            out["Atom_accessibility"] = _atom_accessibility(
+                frame, axs_kwargs
+            )
         elif flag == "-strinfo":
             syms, counts = np.unique(
                 frame.get_chemical_symbols(), return_counts=True
@@ -470,7 +490,7 @@ def _run_extra_options(frame, extra: str, kwargs) -> Dict[str, float]:
         else:
             raise NotImplementedError(
                 f"extra Zeo++ option {flag!r} is not supported "
-                f"(supported: -gridG, -gridBOV, -strinfo, -oms)"
+                f"(supported: -gridG, -gridBOV, -strinfo, -oms, -axs)"
             )
     return out
 
@@ -483,8 +503,9 @@ _NON_METALS = frozenset(
 )
 
 
-def _count_open_metal_sites(frame, kwargs) -> Dict[str, float]:
-    """Count metal atoms with probe-accessible surface (-oms)."""
+def _atom_accessibility(frame, kwargs) -> np.ndarray:
+    """bool[N]: does the probe reach each atom's surface? (Zeo++ -axs
+    per-atom accessibility; also the -oms exposure test.)"""
     from amof_tpu.pore import winding
 
     probe = float(kwargs.get("probe_radius", DEFAULT_PROBE_RADIUS))
@@ -511,8 +532,14 @@ def _count_open_metal_sites(frame, kwargs) -> Dict[str, float]:
         frac, cell, atom_radii, probe, dirs,
         np.asarray(accessible), np.asarray(pocket), grid,
     )
+    return np.asarray(acc_counts) > 0
+
+
+def _count_open_metal_sites(frame, kwargs) -> Dict[str, float]:
+    """Count metal atoms with probe-accessible surface (-oms)."""
+    numbers = frame.get_atomic_numbers()
     is_metal = ~np.isin(numbers, list(_NON_METALS))
-    open_sites = is_metal & (np.asarray(acc_counts) > 0)
+    open_sites = is_metal & _atom_accessibility(frame, kwargs)
     return {
         "Number_of_open_metal_sites": float(open_sites.sum()),
         "Number_of_metal_sites": float(is_metal.sum()),

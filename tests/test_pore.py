@@ -318,6 +318,31 @@ class TestBlockingSpheres:
         assert "Number_of_blocking_spheres" in out
 
 
+def _double_helix_mask(g: int) -> np.ndarray:
+    """A channel winding only through a COMPOSITE of two open
+    components meeting the periodic faces at different positions —
+    the same-label face test is blind to it; the displacement-vector
+    analysis must find one 1-D channel with net translation (0,0,2)."""
+    mask = np.zeros((g, g, g), bool)
+    # component A: column (4,4) z 0..8, bridge at z=8, column
+    # (10,10) z 8..15 — exits the top face at (10,10)
+    mask[4, 4, 0:9] = True
+    mask[4:11, 4, 8] = True
+    mask[10, 4:11, 8] = True
+    mask[10, 10, 8:16] = True
+    # component B: column (10,10) z 0..4, bridge at z=4 to
+    # (12,12), column (12,12) z 4..12, bridge at z=12 back to
+    # (4,4), column (4,4) z 12..15 — exits the top face at (4,4)
+    mask[10, 10, 0:5] = True
+    mask[10:13, 10, 4] = True
+    mask[12, 10:13, 4] = True
+    mask[12, 12, 4:13] = True
+    mask[4:13, 12, 12] = True
+    mask[4, 4:13, 12] = True
+    mask[4, 4, 12:16] = True
+    return mask
+
+
 class TestBatchedPore:
     """The scale path: one compiled program over all frames, sharded on
     the mesh (VERDICT r1 next #2). Must agree with the per-frame path."""
@@ -508,6 +533,104 @@ class TestBatchedPore:
             for key in ("ASA_A^2", "NASA_A^2", "AV_A^3", "NAV_A^3"):
                 assert records[i][key] == ref_records[i][key], (i, key)
 
+    def test_batched_winding_exact_certifies_practical(self):
+        """winding='exact' on a practical porous batch: the host
+        certificate confirms every frame (no recompute) and the records
+        equal the default face-test run bit for bit."""
+        from amof_tpu.core.frames import FrameBatch
+        from amof_tpu.pore.batch import BatchedPore
+
+        rng = np.random.default_rng(7)
+        n, box, nf = 2048, 34.0, 2
+        pos = rng.uniform(0, box, (nf, n, 3)).astype(np.float32)
+        pos[..., 2] *= 0.7  # open slab: nonzero ASA/AV
+        cells = np.tile(np.eye(3, dtype=np.float32) * box, (nf, 1, 1))
+        species = rng.choice([6, 7, 30], n).astype(np.int32)
+        batch = FrameBatch(pos, cells, species,
+                           np.arange(nf, dtype=np.int32))
+        ref_records, _ = BatchedPore(resolution=0.5).run(batch)
+        records, meta = BatchedPore(
+            resolution=0.5, winding="exact"
+        ).run(batch)
+        assert ref_records[0]["AV_A^3"] > 0
+        for i in range(nf):
+            for key in ("ASA_A^2", "NASA_A^2", "AV_A^3", "NAV_A^3"):
+                assert records[i][key] == ref_records[i][key], (i, key)
+
+    def test_batched_winding_exact_composite_channel(self):
+        """End to end: atoms carving the composite double-helix void.
+        The default face test classifies the winding composite as
+        pocket (NAV); winding='exact' certifies the frame as wrong and
+        recomputes it through the displacement-vector path, so the
+        volume moves to AV."""
+        from amof_tpu.core.frames import FrameBatch
+        from amof_tpu.pore.batch import BatchedPore
+
+        g, box = 16, 16.0
+        mask = _double_helix_mask(g)
+        # an atom at every BLOCKED voxel center: void voxel centers sit
+        # >= 1 voxel pitch (1 A) from every atom center, blocked ones
+        # at 0, so radius 0.6 + probe 0.3 reproduces the mask exactly
+        idx = np.argwhere(~mask).astype(np.float32)
+        pos = ((idx + 0.5) * (box / g)).astype(np.float32)[None]
+        cells = (np.eye(3, dtype=np.float32) * box)[None]
+        species = np.full(pos.shape[1], 6, np.int32)
+        batch = FrameBatch(pos, cells, species, np.zeros(1, np.int32))
+        kw = dict(
+            probe_radius=0.3, chan_radius=0.3, radii={"C": 0.6},
+            grid=(g, g, g), window=None,
+        )
+        face_rec, _ = BatchedPore(**kw).run(batch)
+        exact_rec, _ = BatchedPore(winding="exact", **kw).run(batch)
+        vox = (box / g) ** 3
+        n_void = int(mask.sum())
+        # face test: whole composite misread as pocket
+        assert face_rec[0]["AV_A^3"] == pytest.approx(0.0)
+        assert face_rec[0]["NAV_A^3"] == pytest.approx(n_void * vox)
+        # exact: the composite is one channel -> accessible
+        assert exact_rec[0]["AV_A^3"] == pytest.approx(n_void * vox)
+        assert exact_rec[0]["NAV_A^3"] == pytest.approx(0.0)
+        # surface flips wholesale too (absolute areas differ between
+        # the batched and per-frame samplers: direction counts differ)
+        assert exact_rec[0]["ASA_A^2"] > 0
+        assert exact_rec[0]["NASA_A^2"] == pytest.approx(0.0)
+        assert face_rec[0]["ASA_A^2"] == pytest.approx(0.0)
+        assert face_rec[0]["NASA_A^2"] > 0
+
+    def test_face_label_pairs_and_certificate(self):
+        """Device face extraction matches the host slicing, and the
+        certificate refutes the composite / certifies single-wrap."""
+        from amof_tpu.pore import winding
+
+        rng = np.random.default_rng(0)
+        mask = rng.random((12, 10, 14)) < 0.4
+        labels = np.asarray(
+            grid_kernel.label_components(mask, periodic=False))
+        pairs = np.asarray(grid_kernel.face_label_pairs(labels))
+        a, b, ax = winding._label_faces(labels)
+        assert np.array_equal(pairs[0], a)
+        assert np.array_equal(pairs[1], b)
+        assert np.array_equal(
+            grid_kernel.face_axis_ids(mask.shape), ax)
+
+        helix = _double_helix_mask(16)
+        hl = np.asarray(
+            grid_kernel.label_components(helix, periodic=False))
+        assert not winding.face_test_is_exact(
+            np.asarray(grid_kernel.face_label_pairs(hl)),
+            grid_kernel.face_axis_ids(helix.shape),
+        )
+        slab = np.zeros((14, 14, 14), bool)
+        slab[:, :, 4:7] = True
+        slab[0:2, 8:10, 10:12] = True  # straddling pocket
+        slab[12:14, 8:10, 10:12] = True
+        sl = np.asarray(
+            grid_kernel.label_components(slab, periodic=False))
+        assert winding.face_test_is_exact(
+            np.asarray(grid_kernel.face_label_pairs(sl)),
+            grid_kernel.face_axis_ids(slab.shape),
+        )
+
     def test_exact_winding_double_helix(self):
         """A channel winding only through a COMPOSITE of two open
         components meeting the periodic faces at different positions:
@@ -516,25 +639,7 @@ class TestBatchedPore:
         with net translation (0,0,2)."""
         from amof_tpu.pore import winding
 
-        g = 16
-        mask = np.zeros((g, g, g), bool)
-        # component A: column (4,4) z 0..8, bridge at z=8, column
-        # (10,10) z 8..15 — exits the top face at (10,10)
-        mask[4, 4, 0:9] = True
-        mask[4:11, 4, 8] = True
-        mask[10, 4:11, 8] = True
-        mask[10, 10, 8:16] = True
-        # component B: column (10,10) z 0..4, bridge at z=4 to
-        # (12,12), column (12,12) z 4..12, bridge at z=12 back to
-        # (4,4), column (4,4) z 12..15 — exits the top face at (4,4)
-        mask[10, 10, 0:5] = True
-        mask[10:13, 10, 4] = True
-        mask[12, 10:13, 4] = True
-        mask[12, 12, 4:13] = True
-        mask[4:13, 12, 12] = True
-        mask[4, 4:13, 12] = True
-        mask[4, 4, 12:16] = True
-
+        mask = _double_helix_mask(16)
         open_labels = np.asarray(
             grid_kernel.label_components(mask, periodic=False)
         )
@@ -762,6 +867,31 @@ class TestMassAndExtra:
         out = zeopp.network(f_caged, extra="-oms", resolution=0.35)
         assert out["Number_of_open_metal_sites"] == 0.0
         assert out["Number_of_metal_sites"] == 1.0
+
+    def test_extra_axs(self):
+        """-axs: per-atom accessibility array — the exposed Zn and the
+        shell atoms are reachable, a caged Zn is not; the optional
+        probe/filename tokens parse."""
+        from amof_tpu.pore import grid_kernel
+
+        box = 18.0
+        dirs = grid_kernel.fibonacci_sphere(400)
+        shell = box / 2 + 4.0 * dirs
+        pts = np.concatenate([[[box / 2] * 3], shell])
+        f_caged = Frame(pts, [30] + [8] * len(shell), np.eye(3) * box)
+        out = zeopp.network(
+            f_caged, extra="-axs 1.2 out.axs", resolution=0.35
+        )
+        axs = out["Atom_accessibility"]
+        assert axs.dtype == bool and axs.shape == (len(pts),)
+        assert not axs[0]  # caged Zn
+        # the shell's outward faces see the outside (not every shell
+        # atom: they overlap heavily, some are fully buried)
+        assert axs[1:].sum() > len(axs) // 2
+
+        f_open = Frame([[box / 2] * 3], [30], np.eye(3) * box)
+        out = zeopp.network(f_open, extra="-axs", resolution=0.35)
+        assert out["Atom_accessibility"].all()
 
     def test_extra_unknown_flag_raises(self):
         f = single_atom_frame()
