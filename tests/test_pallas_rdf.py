@@ -84,6 +84,60 @@ class TestPallasRdfBlocked:
         ))
         assert np.array_equal(ref, got)
 
+    @pytest.mark.parametrize("p", [1, 2, 4])
+    def test_packing_factors_bit_exact(self, p):
+        """Quadrant packing (p streams per contraction column) is
+        bit-exact for every p: streams land in disjoint (band,
+        lane-quadrant) blocks and cross terms are discarded."""
+        from amof_tpu.ops.pallas_rdf import (
+            apply_atom_layout,
+            pallas_rdf_counts_blocked,
+            species_block_layout,
+        )
+
+        rng = np.random.default_rng(21)
+        n, box, s = 384, 10.0, 2
+        pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+        cell = (np.eye(3) * box).astype(np.float32)
+        sp = rng.integers(0, s, n).astype(np.int32)
+        ref = np.asarray(pair_engine.frame_rdf_counts(
+            pos, cell, sp, 0.05, s, 120, chunk=128, method="scatter"
+        ))
+        perm, sp_l = species_block_layout(sp, block=128, total_multiple=128)
+        pos_l = apply_atom_layout(pos, perm)
+        got = np.asarray(pallas_rdf_counts_blocked(
+            pos_l, cell, sp_l, 0.05, s, 120, ti=128, tj=128, g=16, p=p,
+            interpret=True,
+        ))
+        assert np.array_equal(ref, got)
+
+    def test_packing_production_bins_picks_p2(self):
+        """Auto packing at the production bin count (~1368: rmax =
+        half_cell, dr = 0.02) picks p=2 (p=4's bands overflow the
+        128-row MXU tile) and stays bit-exact."""
+        from amof_tpu.ops.pallas_rdf import (
+            apply_atom_layout,
+            pallas_rdf_counts_blocked,
+            species_block_layout,
+        )
+
+        rng = np.random.default_rng(22)
+        n, box, s, bins = 384, 30.0, 2, 1368
+        pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+        cell = (np.eye(3) * box).astype(np.float32)
+        sp = rng.integers(0, s, n).astype(np.int32)
+        ref = np.asarray(pair_engine.frame_rdf_counts(
+            pos, cell, sp, 0.01, s, bins, chunk=128, method="scatter"
+        ))
+        perm, sp_l = species_block_layout(sp, block=128, total_multiple=128)
+        pos_l = apply_atom_layout(pos, perm)
+        for p in (None, 2):
+            got = np.asarray(pallas_rdf_counts_blocked(
+                pos_l, cell, sp_l, 0.01, s, bins, ti=128, tj=128, g=16,
+                p=p, interpret=True,
+            ))
+            assert np.array_equal(ref, got), p
+
     def test_layout_properties(self):
         from amof_tpu.ops.pallas_rdf import species_block_layout
 
