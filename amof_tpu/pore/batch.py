@@ -662,7 +662,11 @@ class BatchedPore:
             # face test missed (multi-wrap composite channel) is
             # recomputed through the exact per-frame path. Frames the
             # miss fallback already recomputed went through that exact
-            # path and are skipped.
+            # path and are skipped. Estimator note: in mc mode the
+            # recompute integrates -vol on the fine grid (the exotic
+            # frame's column value converges to, but is not drawn from,
+            # the MC estimator) — logged above, and only reachable on
+            # multi-wrap composite-channel frames.
             from amof_tpu.pore import winding as _winding
             from amof_tpu.pore import zeopp
 
