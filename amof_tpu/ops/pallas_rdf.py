@@ -376,10 +376,13 @@ def pallas_rdf_counts_blocked(
 
     ``p`` packs p key streams per contraction column in disjoint
     (M-band, lane-quadrant) blocks (see _kernel_blocked), dividing the
-    per-pair one-hot traffic, compares, and MXU slots by ~p. None
-    auto-picks the largest p in {4, 2, 1} whose p*(bins/(128/p)+1)
+    per-pair one-hot traffic, compares, and MXU slots by ~p. "auto"
+    picks the largest p in {4, 2, 1} whose p*(bins/(128/p)+1)
     one-hot rows fit one 128-row MXU tile (p=2 up to ~4000 bins).
     Bit-exact for every p (integer counts; streams never collide).
+    None currently resolves to p=1 — the packed layout is
+    interpret-verified but its Mosaic lowering has not yet run on real
+    hardware; flip the default to "auto" once it has.
     """
     n = positions.shape[0]
     assert ti % g == 0, "row group must divide the i-tile"
@@ -391,6 +394,8 @@ def pallas_rdf_counts_blocked(
         return -(-raw // 8) * 8
 
     if p is None:
+        p = 1
+    elif p == "auto":
         p = 1
         for cand in (4, 2):
             if g % cand == 0 and cand * band_rows(cand) <= 128:

@@ -131,7 +131,7 @@ class TestPallasRdfBlocked:
         ))
         perm, sp_l = species_block_layout(sp, block=128, total_multiple=128)
         pos_l = apply_atom_layout(pos, perm)
-        for p in (None, 2):
+        for p in ("auto", 2):
             got = np.asarray(pallas_rdf_counts_blocked(
                 pos_l, cell, sp_l, 0.01, s, bins, ti=128, tj=128, g=16,
                 p=p, interpret=True,
