@@ -111,18 +111,20 @@ class TestPallasRdfBlocked:
         ))
         assert np.array_equal(ref, got)
 
-    def test_packing_production_bins_picks_p2(self):
+    def test_packing_production_bins_auto_bit_exact(self):
         """Auto packing at the production bin count (~1368: rmax =
-        half_cell, dr = 0.02) picks p=2 (p=4's bands overflow the
-        128-row MXU tile) and stays bit-exact."""
+        half_cell, dr = 0.02) resolves to p=4 (hardware-measured
+        fastest; the VMEM budget admits it) and stays bit-exact."""
         from amof_tpu.ops.pallas_rdf import (
             apply_atom_layout,
             pallas_rdf_counts_blocked,
+            resolve_packing,
             species_block_layout,
         )
 
         rng = np.random.default_rng(22)
         n, box, s, bins = 384, 30.0, 2, 1368
+        assert resolve_packing(bins, 16, s, 128, 128) == 4
         pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
         cell = (np.eye(3) * box).astype(np.float32)
         sp = rng.integers(0, s, n).astype(np.int32)
@@ -137,6 +139,20 @@ class TestPallasRdfBlocked:
                 p=p, interpret=True,
             ))
             assert np.array_equal(ref, got), p
+
+    def test_resolve_packing_guards(self):
+        """The packing selector respects g divisibility, the M-side
+        row bound, and the VMEM budget (output block scales ~p^2)."""
+        from amof_tpu.ops.pallas_rdf import resolve_packing
+
+        # production bench shape: 4 species, ~1371 bins -> p=4 fits
+        assert resolve_packing(1371, 64, 4, 256, 256) == 4
+        # g not divisible by 4 -> p=2
+        assert resolve_packing(1371, 2, 4, 256, 256) == 2
+        # huge bin count: p=4's M side exceeds 512 rows -> p=2, then
+        # VMEM forces p=1 as species count grows
+        assert resolve_packing(9000, 64, 2, 256, 256) == 2
+        assert resolve_packing(9000, 64, 13, 256, 256) == 1
 
     def test_layout_properties(self):
         from amof_tpu.ops.pallas_rdf import species_block_layout
