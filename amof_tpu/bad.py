@@ -114,15 +114,32 @@ def _compute_counts(batch, nb_set_and_cutoff, dtheta, by_cn=False):
         if chunk + 2 * window >= n_pad:
             window = None
 
+    # 2-level (slab, y) Mosaic upgrade on accelerators (see
+    # ops/slab_table.py); misses fall back window -> full table below
+    slab = None
+    on_accel = pair_engine.default_histogram_method() != "scatter"
+    if window is not None and on_accel:
+        from amof_tpu.ops import slab_table
+
+        slab = slab_table.slab_plan(
+            cells, rc, n_pad, positions=positions,
+            species_idx=species_idx,
+        )
+
     max_neighbors = 16
     while True:
         conc, center_any, overflow = bad_kernel.trajectory_bad_counts(
             positions, cells, species_idx, cutoff_matrix, n_species,
             float(dtheta), n_hist_bins, max_neighbors, chunk, by_cn=by_cn,
-            window=window,
+            window=window, slab=slab,
+            table_impl="pallas" if on_accel else "xla",
         )
         if not bool(overflow):
             break
+        if slab is not None:
+            # could be a slab capacity/coverage miss: retry 1-level
+            slab = None
+            continue
         if window is not None:
             # could be a window miss rather than capacity: drop the
             # window first, then grow capacity

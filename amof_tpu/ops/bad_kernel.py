@@ -75,7 +75,7 @@ def _segmented_mxu_histogram(key, weight, total: int,
     jax.jit,
     static_argnames=(
         "n_species", "bins", "max_neighbors", "chunk", "n_i", "by_cn",
-        "window", "emit_cn", "table_impl",
+        "window", "emit_cn", "table_impl", "slab",
     ),
 )
 def frame_bad_counts(
@@ -94,6 +94,7 @@ def frame_bad_counts(
     window: int = None,
     emit_cn: bool = False,
     table_impl: str = "xla",
+    slab=None,  # ops.slab_table.SlabPlan: 2-level windows (full range)
 ):
     """Angle histograms of one frame.
 
@@ -129,7 +130,42 @@ def frame_bad_counts(
     if window is not None and chunk + 2 * window >= n:
         window = None
     k_cap = max_neighbors
-    if window is None:
+    use_slab = (
+        slab is not None
+        and isinstance(i_start, int) and i_start == 0 and n_i == n
+    )
+    if use_slab:
+        from amof_tpu.ops import slab_table
+
+        out = slab_table.frame_neighbor_payload_table_slab(
+            positions, cell, species_idx, cutoff_matrix, max_neighbors,
+            slab, emit_cn=emit_cn,
+            interpret=jax.default_backend() == "cpu",
+        )
+        (nbr_pos, nbr_sp, nbr_cnt, overflow, center_pos, center_sp,
+         *cn_out) = out
+        # the angle pass below consumes n_i centers in chunks of
+        # ``chunk``: pad the slot axis (fillers species -1, masked)
+        n_i = nbr_pos.shape[0]
+        pad = (-n_i) % chunk
+        if pad:
+            nbr_pos = jnp.concatenate(
+                [nbr_pos, jnp.zeros((pad, k_cap, 3), nbr_pos.dtype)]
+            )
+            nbr_sp = jnp.concatenate(
+                [nbr_sp, jnp.full((pad, k_cap), -1, nbr_sp.dtype)]
+            )
+            nbr_cnt = jnp.concatenate(
+                [nbr_cnt, jnp.zeros((pad,), nbr_cnt.dtype)]
+            )
+            center_pos = jnp.concatenate(
+                [center_pos, jnp.zeros((pad, 3), center_pos.dtype)]
+            )
+            center_sp = jnp.concatenate(
+                [center_sp, jnp.full((pad,), -1, center_sp.dtype)]
+            )
+            n_i += pad
+    elif window is None:
         assert not emit_cn, "emit_cn requires the sorted-window table"
         nbr_pos, nbr_sp, nbr_cnt, overflow = frame_neighbor_payload_table(
             positions, cell, species_idx, cutoff_matrix, max_neighbors,
@@ -259,6 +295,7 @@ def select_spec_counts(concrete, center_any, spec: Tuple[int, int]):
     jax.jit,
     static_argnames=(
         "n_species", "bins", "max_neighbors", "chunk", "by_cn", "window",
+        "slab", "table_impl",
     ),
 )
 def trajectory_bad_counts(
@@ -273,6 +310,8 @@ def trajectory_bad_counts(
     chunk=256,
     by_cn=False,
     window=None,
+    slab=None,
+    table_impl: str = "xla",
 ):
     """Accumulate over frames; returns (concrete, center_any, overflow).
 
@@ -283,7 +322,8 @@ def trajectory_bad_counts(
         pos, cell = args
         return frame_bad_counts(
             pos, cell, species_idx, cutoff_matrix, n_species, dtheta, bins,
-            max_neighbors, chunk, by_cn=by_cn, window=window,
+            max_neighbors, chunk, by_cn=by_cn, window=window, slab=slab,
+            table_impl=table_impl,
         )
 
     conc, any_, overflow = jax.lax.map(one, (positions, cells))

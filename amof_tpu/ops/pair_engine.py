@@ -604,6 +604,12 @@ def frame_neighbor_payload_table_sorted(
         and isinstance(i_start, int) and i_start == 0 and n_i == n
         and chunk % 128 == 0 and window % 128 == 0
         and 1 + 4 * max_neighbors <= 128
+        # scoped-VMEM budget (empirical): the compaction holds ~3
+        # [chunk, width] f32 buffers plus the K-slot loop's live set
+        # (~1 more per 8 slots); k=16 at chunk=256/window=1408 was
+        # measured to exceed the 16 MB scoped limit by 2.5 MB, k=8
+        # fits. Over budget -> XLA loop (same sets, just slower).
+        and chunk * width * 4 * (3 + max_neighbors / 8) <= 14 * 2**20
     )
 
     # ---- sort every payload channel by wrapped fractional coord 0 ----

@@ -58,6 +58,7 @@ def _make_step(
     origin_policy: str,
     bad_window: Optional[int],
     with_rdf: bool = True,
+    bad_slab=None,  # ops.slab_table.SlabPlan: 2-level window upgrade
 ):
     frames_ax = mesh.shape["frames"]
     atoms_ax = mesh.shape["atoms"]
@@ -101,13 +102,16 @@ def _make_step(
             if with_bad and bad_window is not None:
                 # the BAD table's verification pass emits CN for free;
                 # the compaction itself rides the Mosaic kernel whenever
-                # the RDF path is pallas-eligible (same conditions)
+                # the RDF path is pallas-eligible (same conditions),
+                # upgraded to 2-level (slab, y) windows when the plan
+                # exists (~3x fewer candidate tests; ops/slab_table.py)
                 table_impl = "pallas" if method.startswith("pallas") else "xla"
                 bad_c, bad_a, overflow, cn = bad_kernel.frame_bad_counts(
                     pos, cell, species_idx, cutoff_matrix, n_species,
                     dtheta, bad_bins, max_neighbors, chunk,
                     i_start=i0, n_i=a_local, window=bad_window,
                     emit_cn=True, table_impl=table_impl,
+                    slab=bad_slab if atoms_ax == 1 else None,
                 )
             else:
                 cn = pair_engine.frame_cn_counts(
@@ -463,10 +467,24 @@ class FusedAnalysis:
             "bad_names": bad_names, "bad_specs": bad_specs, "mesh": mesh,
         }
 
+        # 2-level (slab, y) window upgrade for the BAD/CN table: ~3x
+        # fewer candidate tests than the 1-level x-window (the whole
+        # cost of the VMEM-bound compaction kernel). Only on the
+        # Mosaic path with the full atom range per device.
+        bad_slab = None
+        if (self.with_bad and bad_window is not None
+                and method.startswith("pallas") and atoms_ax == 1):
+            from amof_tpu.ops import slab_table
+
+            bad_slab = slab_table.slab_plan(
+                cells, float(cutoff_matrix.max()), positions.shape[1],
+                positions=positions, species_idx=species_idx,
+            )
+
         if self.frames_per_call is not None:
             step_fn = self._make_chunked_step(
                 mesh, n_species, bins, bad_bins, method, positions,
-                bad_window, meta,
+                bad_window, meta, bad_slab=bad_slab,
             )
             return step_fn, args, meta
 
@@ -474,12 +492,13 @@ class FusedAnalysis:
             mesh, n_species, bins, float(self.dr), bad_bins,
             float(self.dtheta), self.max_neighbors, self.chunk, method,
             positions.shape[1], self.with_bad, self.with_msd,
-            self.origin_policy, bad_window,
+            self.origin_policy, bad_window, bad_slab=bad_slab,
         )
         return step_fn, args, meta
 
     def _make_chunked_step(self, mesh, n_species, bins, bad_bins,
-                           method, positions, bad_window, meta):
+                           method, positions, bad_window, meta,
+                           bad_slab=None):
         """Host-looped step: pair stage in <= frames_per_call-frame
         dispatches (f64 accumulation across calls is exact at any
         frame count), MSD in atom-blocked dispatches with bounded
@@ -510,14 +529,20 @@ class FusedAnalysis:
         pair_steps = {}
         group_caps = {}
 
-        def get_pair_step(k_cap, with_rdf=True):
-            key = (k_cap, with_rdf)
+        def get_pair_step(k_cap, with_rdf=True, slab=True):
+            # rerun/escalation steps drop the 2-level slab (slab=False):
+            # a slab capacity/coverage miss is a property of the data,
+            # so retrying it at doubled K can never clear the flag —
+            # the 1-level window (-> full-table) path is the fallback,
+            # mirroring Bad.from_trajectory's retry ladder
+            key = (k_cap, with_rdf, slab)
             if key not in pair_steps:
                 pair_steps[key] = _make_step(
                     mesh, n_species, bins, float(self.dr), bad_bins,
                     float(self.dtheta), k_cap, self.chunk, method,
                     n_pad, self.with_bad, False, self.origin_policy,
                     bad_window, with_rdf=with_rdf,
+                    bad_slab=bad_slab if slab else None,
                 )
             return pair_steps[key]
 
