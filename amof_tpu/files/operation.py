@@ -8,40 +8,45 @@ from __future__ import annotations
 
 import gzip
 import logging
-import os
-import pathlib
-import shutil
+from pathlib import Path
+from shutil import copyfileobj
 
 logger = logging.getLogger(__name__)
 
 
-def compress(filename, remove_if_exists: bool = False):
+def _stream(src, dst) -> None:
+    """Copy ``src`` -> ``dst`` (open binary file objects)."""
+    with src as f_in, dst as f_out:
+        copyfileobj(f_in, f_out)
+
+
+def compress(filename, remove_if_exists: bool = False) -> None:
     """Gzip ``filename`` to ``filename + '.gz'`` and remove the original.
 
     If ``remove_if_exists`` and the .gz already exists, only the original
     is removed (same as the reference).
     """
-    if not (remove_if_exists and pathlib.Path(str(filename) + ".gz").exists()):
-        logger.info("compress %s", filename)
-        with open(filename, "rb") as f_in:
-            with gzip.open(str(filename) + ".gz", "wb") as f_out:
-                shutil.copyfileobj(f_in, f_out)
-    os.remove(filename)
+    plain = Path(str(filename))
+    packed = plain.with_name(plain.name + ".gz")
+    if not (remove_if_exists and packed.exists()):
+        logger.info("compress %s", plain)
+        _stream(plain.open("rb"), gzip.open(packed, "wb"))
+    plain.unlink()
 
 
-def decompress(filename, remove: bool = True):
+def decompress(filename, remove: bool = True) -> None:
     """Gunzip ``filename + '.gz'`` to ``filename``."""
-    logger.info("decompress %s", filename)
-    with gzip.open(str(filename) + ".gz", "rb") as f_in:
-        with open(filename, "wb") as f_out:
-            shutil.copyfileobj(f_in, f_out)
+    plain = Path(str(filename))
+    packed = plain.with_name(plain.name + ".gz")
+    logger.info("decompress %s", plain)
+    _stream(gzip.open(packed, "rb"), plain.open("wb"))
     if remove:
-        os.remove(str(filename) + ".gz")
+        packed.unlink()
 
 
-def concatenate(filenames, output_file):
+def concatenate(filenames, output_file) -> None:
     """Concatenate ``filenames`` (bytes) into ``output_file``."""
-    with open(output_file, "wb") as wfd:
-        for f in filenames:
-            with open(f, "rb") as fd:
-                shutil.copyfileobj(fd, wfd)
+    with open(output_file, "wb") as out:
+        for name in filenames:
+            with open(name, "rb") as part:
+                copyfileobj(part, out)

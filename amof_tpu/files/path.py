@@ -4,10 +4,10 @@ Suffix-enforcing path handling (behavior parity: amof/files/path.py:7-22).
 
 from __future__ import annotations
 
-import pathlib
+from pathlib import Path
 
 
-def append_suffix(path, suffix):
+def append_suffix(path, suffix) -> Path:
     """Append ``suffix`` to ``path`` unless it is already the final suffix.
 
     Args:
@@ -17,9 +17,6 @@ def append_suffix(path, suffix):
     Returns:
         pathlib.Path
     """
-    if len(suffix) != 0 and suffix[0] != ".":
-        suffix = "." + suffix
-    path = pathlib.Path(path)
-    if path.suffix != suffix:
-        path = path.parent / (path.name + suffix)
-    return path
+    dotted = suffix if not suffix or suffix.startswith(".") else f".{suffix}"
+    p = Path(path)
+    return p if p.suffix == dotted else p.with_name(p.name + dotted)

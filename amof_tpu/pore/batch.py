@@ -80,6 +80,13 @@ def _make_columns_frame_fn(
         frac = frac - jnp.floor(frac)
 
         pts_tiled = None if mc_points is None else mc_points[0]
+        # NOTE: the z-chunked candidate windows (plan n_zc/wz/wzw) are
+        # deliberately NOT passed: despite a ~2.2x candidate cut they
+        # measured 57 vs 5 ms/frame at bench shapes on v5e — the ~30
+        # small dynamic-slice segments per tile are pure op/DMA
+        # overhead under plain XLA (scripts/profile_zwin.py). A Pallas
+        # scalar-prefetch variant could realize the cut; until then
+        # the full-run sweep is the fast path.
         m_probe, m_chan, fit_pts, miss_d = grid_kernel.void_masks_columns(
             frac, cell, radii, grid, probe=probe, chan=chan,
             nbx=col_plan["nbx"], nby=col_plan["nby"],

@@ -982,8 +982,126 @@ def xycol_plan(cells, radii_max, dmax, grid_raw, n_atoms):
     window = int(-(-w_est // 8) * 8)
     if 3 * window >= n_atoms:
         return None
+
+    def pad8(lam):
+        return int(-((lam + 6.0 * np.sqrt(max(lam, 1.0)) + 16) // -8) * 8)
+
+    # z-chunked candidate windows: a voxel at fractional z v only needs
+    # candidates with min-imaged |fz - v| <= reach / h_z (h_z = the
+    # cell's perpendicular z width), so each z chunk of the full-z tile
+    # can test a z-sorted sub-window of the runs instead of all 3*window
+    # candidates — the remaining candidate-reduction axis after x/y
+    # columns. Requires zmargin < 1/n_zc so only the first/last chunk
+    # needs a wrap slice.
+    #
+    # MEASURED NEGATIVE RESULT (v5e, bench shapes, 2026-08): despite a
+    # ~2.2x candidate cut the z-windowed sweep runs 57 vs 5 ms/frame —
+    # the ~30 small dynamic-slice segments per tile (vs 3 fat full-run
+    # ops) are pure op/DMA overhead under plain XLA, the same
+    # granularity cliff as the abandoned (x,y,z)-windowed variant
+    # (scripts/profile_zwin.py). The plan still emits the z fields and
+    # the kernel path stays bit-exact-tested for a future Pallas
+    # scalar-prefetch implementation; production (pore/batch.py) does
+    # not pass them.
+    zmargin = reach / widths[2]
+    n_zc = max(
+        (d for d in range(2, 9) if gz % d == 0 and d * zmargin < 1.0),
+        default=0,
+    )
+    wz = wzw = 0
+    if n_zc:
+        wz = pad8(mean3 * (1.0 / n_zc + 2.0 * zmargin))
+        wzw = pad8(mean3 * zmargin)
+        # enable only when the windowed sweep clearly beats the full
+        # runs (middle chunks cost wz, the two edge chunks wz + wzw)
+        if wz >= window or wz + wzw / n_zc > 0.8 * window:
+            n_zc = 0
     return {"grid": (gx, gy, gz), "nbx": nbx, "nby": nby,
-            "window": window}
+            "window": window, "n_zc": n_zc, "wz": wz, "wzw": wzw,
+            "zmargin": float(zmargin) if n_zc else 0.0}
+
+
+def calibrate_z_windows(positions, cells, plan, max_frames: int = 4):
+    """Data-aware z-window capacities for ``void_masks_columns``.
+
+    The Poisson estimate in ``xycol_plan`` under-sizes ``wz``/``wzw``
+    on layered structures (crystals repeat atom planes along z, so a
+    narrow z window can hold several times the uniform-density count,
+    and every miss costs a widened-retry recompute). Mirrors the BAD
+    slab table's data-aware per-slab capacities: replicate the sorted
+    layout on the host for a few sampled frames, measure the actual
+    worst (run, chunk) window populations, and pad. The exact on-device
+    ``missed`` flag still guards the unsampled frames.
+
+    Mutates and returns ``plan`` (sets wz/wzw, or n_zc=0 when the
+    measured windows erase the benefit).
+    """
+    if not plan.get("n_zc"):
+        return plan
+    positions = np.asarray(positions, np.float64)
+    if positions.ndim == 2:
+        positions = positions[None]
+    cells = np.asarray(cells, np.float64)
+    if cells.ndim == 2:
+        cells = cells[None]
+    nbx, nby, window = plan["nbx"], plan["nby"], plan["window"]
+    n_zc, m = plan["n_zc"], plan["zmargin"]
+    stride = nby + 2
+    zlo = np.arange(n_zc) / n_zc - m
+    zhi = (np.arange(n_zc) + 1) / n_zc + m
+    idx = np.unique(
+        np.linspace(0, len(positions) - 1, max_frames).astype(int)
+    )
+    max_wz = max_wzw = 0
+    t_ids = np.arange(nbx * nby)
+    c0 = (
+        (((t_ids // nby)[:, None] + np.array([-1, 0, 1])[None, :]) % nbx)
+        * stride + (t_ids % nby)[:, None]
+    ).reshape(-1)  # [n_tiles*3]
+    for f in idx:
+        frac = positions[f] @ np.linalg.inv(
+            cells[min(f, len(cells) - 1)]
+        )
+        frac -= np.floor(frac)
+        fx, fy, fz = frac.T.astype(np.float32)
+        bx = np.minimum((fx * nbx).astype(np.int64), nbx - 1)
+        by = np.minimum((fy * nby).astype(np.int64), nby - 1)
+        key0 = (bx * stride + by + 1).astype(np.float32) + fz
+        key_lo = np.where(by == nby - 1, (bx * stride) + fz, 3e9)
+        key_hi = np.where(by == 0, (bx * stride + nby + 1) + fz, 3e9)
+        keys = np.concatenate([key0, key_lo, key_hi])
+        fz_all = np.concatenate([fz, fz, fz])
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        fz_s = fz_all[order]
+        cstarts = np.searchsorted(
+            keys_s, np.arange(nbx * stride + 1, dtype=np.float32)
+        )
+        starts = np.minimum(cstarts[c0], len(keys_s) - window)
+        runs = np.sort(
+            fz_s[starts[:, None] + np.arange(window)[None, :]], axis=1
+        )  # [n_tiles*3, W]
+        lo_i = np.stack([
+            np.searchsorted(r, zlo, side="left") for r in runs
+        ])
+        hi_i = np.stack([
+            np.searchsorted(r, zhi, side="right") for r in runs
+        ])
+        max_wz = max(max_wz, int((hi_i - lo_i).max()))
+        top = window - np.stack([
+            np.searchsorted(r, 1.0 - m, side="left") for r in runs
+        ])
+        bot = np.stack([
+            np.searchsorted(r, m, side="right") for r in runs
+        ])
+        max_wzw = max(max_wzw, int(top.max()), int(bot.max()))
+    plan["wz"] = int(-(-(max_wz * 1.15 + 8) // 8) * 8)
+    plan["wzw"] = int(-(-(max_wzw * 1.15 + 8) // 8) * 8)
+    if (plan["wz"] >= window
+            or plan["wz"] + plan["wzw"] / n_zc > 0.8 * window):
+        plan["n_zc"] = 0
+        plan["zmargin"] = 0.0
+    return plan
 
 
 def assign_points_to_xytiles(pts, plan):
@@ -1018,7 +1136,8 @@ def assign_points_to_xytiles(pts, plan):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid", "probe", "chan", "nbx", "nby", "window"),
+    static_argnames=("grid", "probe", "chan", "nbx", "nby", "window",
+                     "n_zc", "wz", "wzw", "zmargin"),
 )
 def void_masks_columns(
     frac_atoms,  # f32[N, 3], no padding rows
@@ -1031,6 +1150,10 @@ def void_masks_columns(
     nby: int,
     window: int,
     pts_tiled=None,  # f32[nbx*nby, P, 3] fractional sample points
+    n_zc: int = 0,
+    wz: int = 0,
+    wzw: int = 0,
+    zmargin: float = 0.0,
 ):
     """Probe-fit void masks via sorted xy-columns — the -sa/-vol hot
     path (reference semantics: amof/pore/pysimmzeopp.py:119-128; the
@@ -1192,15 +1315,133 @@ def void_masks_columns(
         # n_vox_tile row order
         return m_hi.reshape(-1), m_lo.reshape(-1)
 
+    # z-chunked voxel pass (DEFAULT OFF — measured 11x SLOWER than the
+    # full-run sweep on v5e despite the candidate cut; see the negative-
+    # result note in xycol_plan and scripts/profile_zwin.py):
+    # the full-z tile is split into n_zc chunks;
+    # each chunk's voxels only need candidates whose min-imaged
+    # fractional z offset is within zmargin = reach / h_z (d >= |u|*h_z
+    # for any xy offset, h_z the cell's perpendicular z width), so the
+    # runs are re-sorted by fz in-tile (one batched lax.sort pooling
+    # the 3 y-columns per run for fat Poisson statistics) and each
+    # chunk tests a dynamic [wz] sub-window instead of all `window`
+    # candidates. Chunk 0 / n_zc-1 additionally test a static-position
+    # edge slice ([W-wzw, W) / [0, wzw)) covering the periodic z wrap
+    # (exactly the fz in [1-zmargin, 1) / [0, zmargin) candidates,
+    # possible since zmargin < 1/n_zc). Extra candidates in any slice
+    # are harmless (every candidate is a real atom under an exact
+    # min-image test); capacity shortfalls raise `missed` exactly, so
+    # callers fall back — identical contract to the xy windows.
+    use_z = (n_zc >= 2 and 0 < wz <= window and 0 <= wzw <= window
+             and zmargin * n_zc < 1.0 and gz % n_zc == 0)
+    gzc = gz // n_zc if use_z else gz
+    zlo_b = np.arange(n_zc) / max(n_zc, 1) - zmargin
+    zhi_b = (np.arange(n_zc) + 1) / max(n_zc, 1) + zmargin
+
+    def zwin_bounds(fz_s):
+        """Per-run window starts/counts: ([n_zc] start, miss scalar)."""
+        lo = jnp.searchsorted(
+            fz_s, jnp.asarray(zlo_b, jnp.float32), side="left"
+        ).astype(jnp.int32)
+        hi = jnp.searchsorted(
+            fz_s, jnp.asarray(zhi_b, jnp.float32), side="right"
+        ).astype(jnp.int32)
+        miss = jnp.any(hi - lo > wz)
+        if zmargin > 0.0:
+            top = window - jnp.searchsorted(
+                fz_s, jnp.float32(1.0 - zmargin), side="left"
+            )
+            bot = jnp.searchsorted(
+                fz_s, jnp.float32(zmargin), side="right"
+            )
+            miss = miss | (top > wzw) | (bot > wzw)
+        start = jnp.clip(lo, 0, window - wz)
+        return start, miss
+
+    def tile_voxel_masks_z(ti, tj, cand_slices):
+        sub_fx = ((ti * tvx).astype(jnp.float32) + sub_lx + 0.5) / gx
+        sub_fy = ((tj * tvy).astype(jnp.float32) + sub_ly + 0.5) / gy
+        fz3 = jnp.stack([c[1] for c in cand_slices])  # [3, W]
+        fx3 = jnp.stack([c[3][0] for c in cand_slices])
+        fy3 = jnp.stack([c[3][1] for c in cand_slices])
+        wr3 = jnp.stack([c[2] for c in cand_slices])
+        fz3, fx3, fy3, wr3 = jax.lax.sort(
+            (fz3, fx3, fy3, wr3), dimension=1, num_keys=1
+        )
+        starts = []
+        miss_t = jnp.asarray(False)
+        for s in range(3):
+            st, ms = zwin_bounds(fz3[s])
+            starts.append(st)
+            miss_t = miss_t | ms
+
+        def seg_masks(st, width, s, vz):
+            """One candidate segment of run ``s`` vs the chunk's
+            voxels — same factorized quadratic as the full-run pass."""
+            fzc = jax.lax.dynamic_slice(fz3[s], (st,), (width,))
+            fxc = jax.lax.dynamic_slice(fx3[s], (st,), (width,))
+            fyc = jax.lax.dynamic_slice(fy3[s], (st,), (width,))
+            wrc = jax.lax.dynamic_slice(wr3[s], (st,), (width,))
+            dfx = sub_fx[:, None] - fxc[None, :]  # [S, width]
+            dfy = sub_fy[:, None] - fyc[None, :]
+            qx = dfx * cell[0, 0] + dfy * cell[1, 0]
+            qy = dfx * cell[0, 1] + dfy * cell[1, 1]
+            qz = dfx * cell[0, 2] + dfy * cell[1, 2]
+            qq = qx * qx + qy * qy + qz * qz
+            qdz = (
+                qx * cell_z[0] + qy * cell_z[1] + qz * cell_z[2]
+            ) * 2.0
+            dz = vz[:, None] - fzc[None, :]  # [gzc, width]
+            u = dz - jnp.round(dz)
+            uu = a_zz * (u * u)
+            d2 = (
+                qq[:, None, :] + uu[None, :, :]
+                + u[None, :, :] * qdz[:, None, :]
+            )  # [S, gzc, width]
+            h = jnp.all(
+                d2 >= ((wrc + thr_hi) ** 2)[None, None, :], axis=2
+            )
+            lo_m = None
+            if two_masks:
+                lo_m = jnp.all(
+                    d2 >= ((wrc + thr_lo) ** 2)[None, None, :], axis=2
+                )
+            return h, lo_m
+
+        mh_chunks, mlo_chunks = [], []
+        for k in range(n_zc):
+            vz = vz_all[k * gzc:(k + 1) * gzc]
+            mh = ml = None
+            for s in range(3):
+                segs = [(starts[s][k], wz)]
+                if zmargin > 0.0 and k == 0:
+                    segs.append((window - wzw, wzw))
+                if zmargin > 0.0 and k == n_zc - 1:
+                    segs.append((0, wzw))
+                for st, width in segs:
+                    h, lo_m = seg_masks(st, width, s, vz)
+                    mh = h if mh is None else (mh & h)
+                    if two_masks:
+                        ml = lo_m if ml is None else (ml & lo_m)
+            mh_chunks.append(mh)
+            mlo_chunks.append(ml if two_masks else mh)
+        m_hi = jnp.concatenate(mh_chunks, axis=1)  # [S, gz]
+        m_lo = jnp.concatenate(mlo_chunks, axis=1)
+        return m_hi.reshape(-1), m_lo.reshape(-1), miss_t
+
     def tile_masks(tile, pts):
         ti = tile // nby
         tj = tile % nby
         cand_slices = tile_candidates(tile)
-        m_hi, m_lo = tile_voxel_masks(ti, tj, cand_slices)
+        if use_z:
+            m_hi, m_lo, miss_t = tile_voxel_masks_z(ti, tj, cand_slices)
+        else:
+            m_hi, m_lo = tile_voxel_masks(ti, tj, cand_slices)
+            miss_t = jnp.asarray(False)
         if pts is None:
-            return m_hi, m_lo
+            return m_hi, m_lo, miss_t
         p_hi, p_lo = masks_of(pts, cand_slices)
-        return m_hi, m_lo, (p_hi if probe >= chan else p_lo)
+        return m_hi, m_lo, (p_hi if probe >= chan else p_lo), miss_t
 
     def tile_step(args):
         if pts_tiled is None:
@@ -1215,14 +1456,15 @@ def void_masks_columns(
 
     t0s = jnp.arange(0, n_tiles, t_batch, dtype=jnp.int32)
     if pts_tiled is None:
-        m_hi, m_lo = jax.lax.map(tile_step, (t0s,))
+        m_hi, m_lo, miss_z = jax.lax.map(tile_step, (t0s,))
         fit_pts = None
     else:
-        m_hi, m_lo, fit_pts = jax.lax.map(
+        m_hi, m_lo, fit_pts, miss_z = jax.lax.map(
             tile_step,
             (t0s, pts_tiled.reshape(-1, t_batch, *pts_tiled.shape[1:])),
         )
         fit_pts = fit_pts.reshape(n_tiles, -1)
+    missed = missed | jnp.any(miss_z)
     m_hi = m_hi.reshape(n_tiles, n_vox_tile)
     m_lo = m_lo.reshape(n_tiles, n_vox_tile)
 

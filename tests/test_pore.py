@@ -1132,6 +1132,85 @@ class TestFactorizedVoxelMasks:
         np.testing.assert_array_equal(np.asarray(m_chan), dist >= chan)
 
 
+class TestZWindowedVoxelMasks:
+    """The z-chunked candidate windows in void_masks_columns (in-tile
+    fz sort + per-chunk [wz] sub-windows + static wrap slices) must be
+    BIT-EXACT against the full-run sweep, including periodic z wrap
+    and layered (crystal-like) z distributions; capacity shortfalls
+    must raise the missed flag, never silently under-block.
+
+    The path is DEFAULT-OFF in production (measured 11x slower than
+    the full-run sweep on v5e — XLA granularity, not correctness; see
+    xycol_plan's negative-result note). These tests keep it exact for
+    a future Pallas implementation."""
+
+    @pytest.mark.parametrize(
+        "tric,layered", [(True, False), (False, True)]
+    )
+    def test_bit_exact_vs_full_runs(self, tric, layered):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(31 + 2 * tric + layered)
+        n, boxd = 2500, 34.0
+        frac = rng.random((n, 3)).astype(np.float32)
+        if layered:
+            # crystal-like z planes (periodic images across z = 0/1)
+            zl = (rng.integers(0, 6, n) + 0.5
+                  + rng.normal(0, 0.04, n)) / 6.0
+            frac[:, 2] = (zl - np.floor(zl)).astype(np.float32)
+        cell = np.eye(3, dtype=np.float32) * boxd
+        if tric:
+            cell[1, 0] = 2.0
+            cell[2, 0] = 3.0
+        radii = rng.uniform(1.2, 1.9, n).astype(np.float32)
+        probe, chan = (1.4, 1.1) if tric else (1.2, 1.2)
+        plan = grid_kernel.xycol_plan(
+            cell, float(radii.max()), max(probe, chan) + 1e-3,
+            (24, 24, 24), n,
+        )
+        assert plan is not None and plan["n_zc"] >= 2
+        pos = (frac @ cell).astype(np.float32)
+        grid_kernel.calibrate_z_windows(pos[None], cell[None], plan)
+        assert plan["n_zc"] >= 2, "calibration should keep z enabled"
+        pts = rng.random(
+            (plan["nbx"] * plan["nby"], 4, 3)
+        ).astype(np.float32)
+        common = dict(
+            probe=probe, chan=chan, nbx=plan["nbx"], nby=plan["nby"],
+            window=plan["window"], pts_tiled=jnp.asarray(pts),
+        )
+        args = (jnp.asarray(frac), jnp.asarray(cell),
+                jnp.asarray(radii), plan["grid"])
+        ref = grid_kernel.void_masks_columns(*args, **common)
+        new = grid_kernel.void_masks_columns(
+            *args, **common, n_zc=plan["n_zc"], wz=plan["wz"],
+            wzw=plan["wzw"], zmargin=plan["zmargin"],
+        )
+        assert not bool(np.asarray(new[3]))
+        for a, b in zip(ref[:3], new[:3]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_capacity_shortfall_raises_missed(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        n, boxd = 2500, 34.0
+        frac = rng.random((n, 3)).astype(np.float32)
+        cell = np.eye(3, dtype=np.float32) * boxd
+        radii = rng.uniform(1.2, 1.9, n).astype(np.float32)
+        plan = grid_kernel.xycol_plan(
+            cell, float(radii.max()), 1.2 + 1e-3, (24, 24, 24), n
+        )
+        assert plan is not None and plan["n_zc"] >= 2
+        out = grid_kernel.void_masks_columns(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            plan["grid"], probe=1.2, chan=1.2,
+            nbx=plan["nbx"], nby=plan["nby"], window=plan["window"],
+            n_zc=plan["n_zc"], wz=8, wzw=8, zmargin=plan["zmargin"],
+        )
+        assert bool(np.asarray(out[3]))
+
+
 class TestSurfaceSlotPadding:
     def test_padded_slots_contribute_nothing(self):
         """surface_valid_columns pads its slot count to a multiple of
