@@ -18,12 +18,18 @@ and serializes with suffix-enforcing ``write_to_file``
 
 __version__ = "0.1.0"
 
+from amof_tpu.cache import enable_persistent_cache
 from amof_tpu.core.frames import Frame, FrameBatch, Trajectory, as_frame_batch
+
+# kill the cold start: persist compiled executables across processes
+# (751 s observed for a fresh-process full-bench compile, round 3)
+enable_persistent_cache()
 
 __all__ = [
     "Frame",
     "FrameBatch",
     "Trajectory",
     "as_frame_batch",
+    "enable_persistent_cache",
     "__version__",
 ]

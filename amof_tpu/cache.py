@@ -1,0 +1,54 @@
+"""
+Persistent XLA compilation cache.
+
+The tunneled TPU backend can take minutes to compile the fused
+analysis program (751 s observed for the full bench pipeline, round 3),
+which a fresh process would pay again on every run. JAX's persistent
+compilation cache keys compiled executables on the HLO + compile
+options + backend, so a second process reuses the binaries from disk.
+
+Enabled automatically at ``import amof_tpu`` (the reference has no
+analogous cost: its native engines are precompiled binaries). Disable
+with ``AMOF_TPU_NO_COMPILE_CACHE=1``; relocate with
+``AMOF_TPU_COMPILE_CACHE=/path``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+_DEFAULT_DIR = os.path.expanduser("~/.cache/amof_tpu/xla_cache")
+
+
+def enable_persistent_cache(path: str | None = None) -> str | None:
+    """Point jax at a persistent on-disk compilation cache.
+
+    Returns the cache directory, or None when disabled/unsupported.
+    Safe to call repeatedly and before/after backend initialization
+    (the config flags apply to subsequent compilations).
+    """
+    if os.environ.get("AMOF_TPU_NO_COMPILE_CACHE"):
+        return None
+    path = path or os.environ.get("AMOF_TPU_COMPILE_CACHE") or _DEFAULT_DIR
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError as e:  # read-only home etc. — cache is best-effort
+        logger.debug("compilation cache dir unavailable: %s", e)
+        return None
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        # default min compile time is 1 s; the fused pipeline's many
+        # sub-programs (pore stages, chunked dispatches) each sit well
+        # above that, but cache the small ones too so a warm start
+        # replays the whole program set
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # noqa: BLE001 — option absent in this jax
+        logger.debug("compilation cache unsupported: %s", e)
+        return None
+    return path

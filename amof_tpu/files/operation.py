@@ -14,10 +14,19 @@ from shutil import copyfileobj
 logger = logging.getLogger(__name__)
 
 
-def _stream(src, dst) -> None:
-    """Copy ``src`` -> ``dst`` (open binary file objects)."""
-    with src as f_in, dst as f_out:
-        copyfileobj(f_in, f_out)
+def _stream(open_src, open_dst) -> None:
+    """Copy between files given as zero-arg openers, so the source handle
+    is closed deterministically even when opening the destination fails."""
+    with open_src() as f_in:
+        with open_dst() as f_out:
+            copyfileobj(f_in, f_out)
+
+
+def _gz_sibling(plain: Path) -> Path:
+    """``plain`` with '.gz' appended; built via parent/(name+'.gz') so
+    empty-final-component paths keep the reference's behavior
+    (amof/files/operation.py:13-47 uses string concatenation)."""
+    return plain.parent / (plain.name + ".gz")
 
 
 def compress(filename, remove_if_exists: bool = False) -> None:
@@ -27,19 +36,19 @@ def compress(filename, remove_if_exists: bool = False) -> None:
     is removed (same as the reference).
     """
     plain = Path(str(filename))
-    packed = plain.with_name(plain.name + ".gz")
+    packed = _gz_sibling(plain)
     if not (remove_if_exists and packed.exists()):
         logger.info("compress %s", plain)
-        _stream(plain.open("rb"), gzip.open(packed, "wb"))
+        _stream(lambda: plain.open("rb"), lambda: gzip.open(packed, "wb"))
     plain.unlink()
 
 
 def decompress(filename, remove: bool = True) -> None:
     """Gunzip ``filename + '.gz'`` to ``filename``."""
     plain = Path(str(filename))
-    packed = plain.with_name(plain.name + ".gz")
+    packed = _gz_sibling(plain)
     logger.info("decompress %s", plain)
-    _stream(gzip.open(packed, "rb"), plain.open("wb"))
+    _stream(lambda: gzip.open(packed, "rb"), lambda: plain.open("wb"))
     if remove:
         packed.unlink()
 

@@ -19,4 +19,8 @@ def append_suffix(path, suffix) -> Path:
     """
     dotted = suffix if not suffix or suffix.startswith(".") else f".{suffix}"
     p = Path(path)
-    return p if p.suffix == dotted else p.with_name(p.name + dotted)
+    # parent/(name+dotted) instead of with_name: the latter raises for
+    # empty-final-component paths (Path('.'), Path('/')) where the
+    # reference's string concatenation returns a usable path
+    # (amof/files/path.py:7-22).
+    return p if p.suffix == dotted else p.parent / (p.name + dotted)

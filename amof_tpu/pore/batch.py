@@ -387,6 +387,10 @@ class BatchedPore:
                 col_plan["window"] = int(
                     -(-col_plan["window"] * self.window_scale // 8) * 8
                 )
+                # the z-chunk capacities (wz/wzw) were sized for the
+                # original window; disable the z path rather than carry
+                # stale capacities into a widened retry
+                col_plan["n_zc"] = 0
                 surf_plan["window"] = int(
                     -(-surf_plan["window"] * self.window_scale // 8) * 8
                 )

@@ -121,7 +121,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=256)
     parser.add_argument("--atoms", type=int, default=10240)
-    parser.add_argument("--dr", type=float, default=0.02)
+    parser.add_argument("--dr", type=float, default=0.01,
+                        help="RDF bin width; default matches the "
+                             "reference's own default (amof/rdf.py:38)")
     parser.add_argument("--dtheta", type=float, default=0.05)
     parser.add_argument("--chunk", type=int, default=256)
     parser.add_argument("--method", type=str, default=None)
@@ -281,14 +283,22 @@ def main():
 
     diag = {}
     if not args.no_pore and not args.smoke:
-        # porous diagnostic: a crystalline ZIF-4 supercell at a probe
+        # porous workload: a crystalline ZIF-4 supercell at a probe
         # small enough (1.0 A < the 2.37/2 A aperture radius) that
         # channels percolate — accessible surface/volume and the
-        # channel classification do real work in the timed region
+        # channel classification do real work in the timed region.
+        # All five analyses are timed on THIS geometry too, so the
+        # headline does not depend on the glass having zero accessible
+        # volume (VERDICT r3 weak #2).
         n_porous = min(16, n_pore)
-        porous = make_porous_supercell(n_porous)
+        porous = make_porous_supercell(max(n_porous, 64))
         if porous is not None:
-            p_batch, p_atoms = porous
+            p_batch_full, p_atoms = porous
+            p_batch = p_batch_full._replace(
+                positions=p_batch_full.positions[:n_porous],
+                cell=p_batch_full.cell[:n_porous],
+                step=p_batch_full.step[:n_porous],
+            )
             from amof_tpu.pore.batch import BatchedPore
 
             bpp = BatchedPore(
@@ -326,8 +336,50 @@ def main():
                 f"asa_total={pvals[0]:.4g} av_total={pvals[2]:.4g}",
                 file=sys.stderr,
             )
+
+            # fused RDF+BAD+CN+MSD on the porous supercell (64 frames
+            # amortize the ~25 ms dispatch overhead)
+            pf_frames = len(p_batch_full.step)
+            pfa = FusedAnalysis(
+                {"Zn-N": 2.0, "C-C": 1.75, "C-N": 1.73, "C-H": 1.3},
+                dr=args.dr, dtheta=args.dtheta, chunk=args.chunk,
+                method=args.method, with_bad=not args.no_bad,
+                with_msd=not args.no_msd, max_neighbors=k_cap,
+                frames_per_call=min(
+                    args.frames_per_call or pf_frames, pf_frames),
+            )
+            pf_fn, pf_args, _ = pfa.prepare(
+                p_batch_full, mesh=analysis_mesh(n_frames=pf_frames))
+            pf_args = jax.device_put(pf_args)
+
+            def porous_fused_once():
+                out = pf_fn(*pf_args)
+                for v in out.values():
+                    float(np.asarray(v).sum())
+                return out
+
+            t0 = time.time()
+            pf_out = porous_fused_once()
+            print(f"bench: porous fused first call {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+            if not args.no_bad and np.asarray(pf_out["bad_overflow"]).any():
+                raise RuntimeError("porous fused neighbor overflow")
+            pft = []
+            for _ in range(args.repeats):
+                t0 = time.time()
+                porous_fused_once()
+                pft.append(time.time() - t0)
+            pf_per_frame = min(pft) / pf_frames
+            porous_fps = 1.0 / (pf_per_frame + p_per_frame)
+            print(
+                f"bench: porous all-five = 1/({pf_per_frame * 1e3:.1f} fused"
+                f" + {p_per_frame * 1e3:.1f} pore ms) = "
+                f"{porous_fps:.2f} f/s", file=sys.stderr,
+            )
             diag = {
+                "porous_frames_per_sec": round(porous_fps, 3),
                 "porous_pore_ms_per_frame": round(p_per_frame * 1e3, 2),
+                "porous_fused_ms_per_frame": round(pf_per_frame * 1e3, 2),
                 "porous_asa_total_A2": round(pvals[0], 1),
                 "porous_av_total_A3": round(pvals[2], 1),
             }
@@ -338,7 +390,8 @@ def main():
     vs_baseline = frames_per_sec / (baseline_per_chip * n_chips)
 
     print(json.dumps({
-        "metric": f"frames/sec {analyses}, {args.atoms}-atom amorphous ZIF",
+        "metric": (f"frames/sec {analyses}, {args.atoms}-atom amorphous "
+                   f"ZIF, dr={args.dr}"),
         "value": round(frames_per_sec, 3),
         "unit": "frames/sec",
         "vs_baseline": round(vs_baseline, 4),

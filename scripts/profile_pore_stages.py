@@ -15,6 +15,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, "/root/repo")  # before any amof_tpu/bench import
+
 
 def main():
     import jax
@@ -23,15 +25,24 @@ def main():
     from amof_tpu.parallel.mesh import analysis_mesh
     from amof_tpu.pore import grid_kernel
     from amof_tpu.pore.batch import BatchedPore
-    sys.path.insert(0, "/root/repo")
-    from bench import make_trajectory
+    from bench import make_porous_supercell, make_trajectory
 
     k = 16
-    batch, box = make_trajectory(k, 10240)
+    porous = "--porous" in sys.argv
+    if porous:
+        # crystalline ZIF-4 supercell at probe 1.0 (percolating
+        # channels): the bench's porous workload
+        batch, n_atoms = make_porous_supercell(k)
+        box = float(batch.cell[0, 0, 0])
+        print(f"porous supercell atoms={n_atoms}", file=sys.stderr)
+    else:
+        batch, box = make_trajectory(k, 10240)
     print(f"devices={jax.devices()} box={box:.2f}", file=sys.stderr)
 
     bp = BatchedPore(resolution=0.25, vol_method="mc",
-                     conn_resolution=0.5)
+                     conn_resolution=0.5,
+                     **({"probe_radius": 1.0, "chan_radius": 1.0}
+                        if porous else {}))
     step_fn, args, meta = bp.prepare(batch, mesh=analysis_mesh(n_frames=k))
     col_plan, surf_plan = meta["col_plan"], meta["surf_plan"]
     print(f"grid={meta['grid']} col_plan={col_plan} "
@@ -42,7 +53,7 @@ def main():
     radii = jnp.asarray(
         rad_table[np.asarray(batch.species)].astype(np.float32)
     )
-    probe = chan = 1.2
+    probe = chan = bp.probe_radius
     grid = col_plan["grid"]
 
     positions = jax.device_put(np.asarray(batch.positions, np.float32))

@@ -12,13 +12,14 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, "/root/repo")  # before any amof_tpu/bench import
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
     from amof_tpu.pore import grid_kernel
-    sys.path.insert(0, "/root/repo")
     from bench import make_trajectory
 
     k = 16
