@@ -135,12 +135,19 @@ class Ring:
     """Primitive-ring statistics over a trajectory."""
 
     def __init__(self, max_search_depth=None,
-                 discard_if_potentially_undiscovered_rings=False):
+                 discard_if_potentially_undiscovered_rings=False,
+                 supercell_fallback=True):
         self.data = labeled.Dataset()
         self.max_search_depth = max_search_depth
         self.discard_if_potentially_undiscovered_rings = (
             discard_if_potentially_undiscovered_rings
         )
+        # quotient-graph shortcut distances are exact only for rings
+        # smaller than the shortest winding cycle; when a frame's
+        # certificate (ring/guard.py) does not cover max_search_depth,
+        # rerun the census on a 2x2x2 supercell (RC scaled back by 8)
+        # and flag report_search if even that is uncertified
+        self.supercell_fallback = bool(supercell_fallback)
         self.report_search = pd.DataFrame({"Step": np.empty([0])})
 
     @classmethod
@@ -247,15 +254,44 @@ class Ring:
         # pairs without a cutoff are not bonded (RINGS zero-fill
         # convention, amof/ring/core.py:234-240)
 
+        # primitivity-regime guard (ring/guard.py): the quotient-graph
+        # shortcut test is provably exact for ring sizes up to the
+        # winding-girth certificate; cell-spanning rings beyond it need
+        # the supercell fallback (the reference inherits this regime
+        # from the RINGS binary unchecked, amof/ring/core.py:37-49)
+        from amof_tpu.ring import guard
+
+        cutoff_matrix = cutoff_dict_to_matrix(cutoff_dict)
+        cert, cert_super = guard.certified_max_ring_sizes(
+            frame, cutoff_matrix, frame.get_atomic_numbers(),
+            cap=self.max_search_depth,
+        )
+        census_frame, rc_div, cert_eff = frame, 1, cert
+        if self.supercell_fallback and self.max_search_depth > cert:
+            census_frame = guard.supercell_frame(frame, (2, 2, 2))
+            rc_div, cert_eff = 8, cert_super
+            logger.info(
+                "primitivity certificate %s < depth %s: census on a "
+                "2x2x2 supercell (certified to %s)",
+                cert, self.max_search_depth, cert_super,
+            )
+        report_search["Primitive shortcut exact up to size"] = cert_eff
+        report_search["Supercell census"] = rc_div > 1
+
         search_depth = min(16, self.max_search_depth)
         ring_arr = None
         potentially_undiscovered = np.inf
         while (search_depth <= self.max_search_depth
                and potentially_undiscovered > 0):
             rings, potentially_undiscovered, _king = frame_ring_census(
-                frame, cutoff_dict, search_depth
+                census_frame, cutoff_dict, search_depth
             )
-            sizes, rows = ring_statistics(rings, len(frame), search_depth)
+            sizes, rows = ring_statistics(
+                rings, len(census_frame), search_depth
+            )
+            if rc_div > 1 and len(rows):
+                rows = rows.copy()
+                rows[:, RING_VARS.index("RC")] /= rc_div
             ring_arr = labeled.DataArray(
                 rows,
                 coords={"ring_size": sizes, "ring_var": np.array(RING_VARS)},
@@ -267,6 +303,18 @@ class Ring:
                 potentially_undiscovered
             )
             search_depth += 4
+
+        final_depth = report_search.get("Final search_depth", 0)
+        report_search["Primitivity regime unguaranteed"] = bool(
+            final_depth > cert_eff
+        )
+        if final_depth > cert_eff:
+            logger.warning(
+                "ring sizes in (%s, %s] are beyond the winding-girth "
+                "certificate even on the supercell; quotient shortcut "
+                "distances may reject cell-spanning rings",
+                cert_eff, final_depth,
+            )
 
         if potentially_undiscovered > 0:
             logger.warning(
