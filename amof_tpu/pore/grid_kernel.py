@@ -647,7 +647,7 @@ def ray_chord_lengths(
 # --------------------------------------------------------------------------
 
 def _sweep_tile_kernel(lab_prev, lab_mid, lab_next, out_ref, chg_ref, *,
-                       tx, gy, gz, periodic, n_sweeps):
+                       tx, gy, gz, periodic, n_sweeps, run_doubling=0):
     """One x-slab of ``n_sweeps`` 6-neighbor max-propagation sweeps.
 
     Wall voxels are encoded as -1 labels, so the void mask is simply
@@ -657,6 +657,22 @@ def _sweep_tile_kernel(lab_prev, lab_mid, lab_next, out_ref, chg_ref, *,
     wraps are exact. Local sweeps treat the tile's x edges as walls:
     that only UNDER-estimates propagation (monotone-from-below), which
     the outer fixpoint loop completes — never an overestimate.
+
+    ``run_doubling > 0`` interleaves, every that many sweeps, a masked
+    distance-doubling pass per axis that propagates label maxima across
+    whole contiguous open RUNS while the slab sits in VMEM; a doubling
+    jump over [i, i+d] is taken only when the guard run [i, i+d-1] is
+    fully open, so propagation stays exactly connectivity-bounded.
+
+    MEASURED NEGATIVE RESULT (kept gated off, default run_doubling=0):
+    on the porous ZIF-4 supercell the VMEM live set of the doubling
+    passes forces tx=4, and at tx=4 every variant loses to plain
+    sweeps — 77 ms/frame (ns=2, rd=1), 25.6 ms (alternating-transpose)
+    vs 19.8 ms plain at tx=8 (scripts/profile_flood.py). The fixpoint
+    is VPU-compute-bound, not round-bound, once sweeps are fused in
+    VMEM. The code stays because it is bit-exact (tests
+    TestPallasSweeps::test_run_doubling_*) and documents the design
+    space for future hardware with larger VMEM.
     """
     i = pl.program_id(0)
     n_b = pl.num_programs(0)
@@ -671,7 +687,31 @@ def _sweep_tile_kernel(lab_prev, lab_mid, lab_next, out_ref, chg_ref, *,
 
     minus = jnp.full((1, gy, gz), -1, L.dtype)
 
-    def sweep(_, L):
+    def double_axis(L, axis, g):
+        # run guard: int32 0/1 (Mosaic cannot rotate i1 vectors),
+        # built fresh per axis to keep the VMEM live set small. Runs
+        # never cross the block's x edges (the block is not the whole
+        # axis) nor the y/z wrap when the labeling is aperiodic —
+        # cutting a run only under-propagates, which the fixpoint
+        # completes.
+        can = mask.astype(jnp.int32)
+        if axis == 0 or not periodic:
+            eidx = jax.lax.broadcasted_iota(
+                jnp.int32, (3 * tx, gy, gz), axis
+            )
+            can = can * (eidx != g - 1).astype(jnp.int32)
+        d = 1
+        while d < g:
+            fwd = pltpu.roll(L, (g - d) % g, axis)  # L[i + d]
+            L = jnp.where(can > 0, jnp.maximum(L, fwd), L)
+            bwd = pltpu.roll(L, d, axis)  # (updated) L[i - d]
+            L = jnp.where(pltpu.roll(can, d, axis) > 0,
+                          jnp.maximum(L, bwd), L)
+            can = can * pltpu.roll(can, (g - d) % g, axis)
+            d *= 2
+        return jnp.where(mask, L, -1)
+
+    def sweep(s, L):
         up = jnp.concatenate([minus, L[:-1]], axis=0)
         dn = jnp.concatenate([L[1:], minus], axis=0)
         out = jnp.maximum(L, jnp.maximum(up, dn))
@@ -685,7 +725,18 @@ def _sweep_tile_kernel(lab_prev, lab_mid, lab_next, out_ref, chg_ref, *,
                     )
                     r = jnp.where(eidx == edge, -1, r)
                 out = jnp.maximum(out, r)
-        return jnp.where(mask, out, -1)
+        L = jnp.where(mask, out, -1)
+        if run_doubling:
+
+            def dbl(L):
+                for axis, g in ((0, 3 * tx), (1, gy), (2, gz)):
+                    L = double_axis(L, axis, g)
+                return L
+
+            L = jax.lax.cond(
+                (s + 1) % run_doubling == 0, dbl, lambda L: L, L
+            )
+        return L
 
     L = jax.lax.fori_loop(0, n_sweeps, sweep, L)
     mid_new = L[tx:2 * tx]
@@ -698,12 +749,155 @@ def _sweep_tile_kernel(lab_prev, lab_mid, lab_next, out_ref, chg_ref, *,
     out_ref[:] = mid_new
 
 
+def _slab_sweeps(lab_prev, lab_mid, lab_next, i, n_b, *,
+                 tx, th, gy, gz, periodic, n_sweeps):
+    """``n_sweeps`` fused 6-neighbor max sweeps over one (tx + 2*th)-row
+    slab; returns the new middle tx rows. Shared by the plain and the
+    block-skip sweep kernels (same semantics as ``_sweep_tile_kernel``
+    without the run-doubling experiment).
+
+    ``th <= tx`` is the halo depth actually swept: only the th rows of
+    each neighbor block adjacent to the middle can influence the middle
+    within th sweeps, so slicing the halo to th rows cuts the redundant
+    compute per output row from 3x (full-neighbor slabs) toward
+    (tx + 2*th)/tx while staying exact (sweeps still treat slab edges
+    as walls — an under-estimate the outer fixpoint completes)."""
+    rows = tx + 2 * th
+    L = jnp.concatenate(
+        [lab_prev[tx - th:], lab_mid[:], lab_next[:th]], axis=0
+    )
+    if not periodic:
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, gy, gz), 0)
+        L = jnp.where((i == 0) & (row < th), -1, L)
+        L = jnp.where((i == n_b - 1) & (row >= th + tx), -1, L)
+    mask = L >= 0
+    minus = jnp.full((1, gy, gz), -1, L.dtype)
+
+    def sweep(_, L):
+        up = jnp.concatenate([minus, L[:-1]], axis=0)
+        dn = jnp.concatenate([L[1:], minus], axis=0)
+        out = jnp.maximum(L, jnp.maximum(up, dn))
+        for axis, g in ((1, gy), (2, gz)):
+            for shift, edge in ((1, 0), (g - 1, g - 1)):
+                r = pltpu.roll(L, shift, axis)
+                if not periodic:
+                    eidx = jax.lax.broadcasted_iota(
+                        jnp.int32, (rows, gy, gz), axis
+                    )
+                    r = jnp.where(eidx == edge, -1, r)
+                out = jnp.maximum(out, r)
+        return jnp.where(mask, out, -1)
+
+    L = jax.lax.fori_loop(0, n_sweeps, sweep, L)
+    return L[th:th + tx]
+
+
+def _sweep_tile_skip_kernel(act_ref, lab_prev, lab_mid, lab_next,
+                            out_ref, chg_ref, *, tx, th, gy, gz,
+                            periodic, n_sweeps):
+    """Block-skip sweep slab: compute only when this block's 3-slab
+    neighborhood changed last round (``act_ref[i]``), else pass the
+    middle slab through unchanged.
+
+    Exactness (chaotic relaxation): a block's sweep reads only blocks
+    i-1, i, i+1. If none of them changed in the previous round, this
+    round's inputs equal the previous round's, whose sweep already
+    reported no change — re-sweeping is a no-op, so skipping preserves
+    the fixpoint. The per-block changed flags (``chg_ref``) feed the
+    next round's activity via a 3-neighborhood OR in the driver. The
+    flood-fill frontier on percolating channels occupies a few of the
+    gx/tx blocks once the bulk converges, so most late rounds skip
+    most compute (the fixpoint is VPU-compute-bound — see the
+    negative-result note on ``_sweep_tile_kernel``).
+    """
+    i = pl.program_id(0)
+    n_b = pl.num_programs(0)
+
+    @pl.when(act_ref[i] > 0)
+    def _():
+        mid_new = _slab_sweeps(
+            lab_prev, lab_mid, lab_next, i, n_b, tx=tx, th=th, gy=gy,
+            gz=gz, periodic=periodic, n_sweeps=n_sweeps,
+        )
+        chg_ref[i, 0] = jnp.any(mid_new != lab_mid[:]).astype(jnp.int32)
+        out_ref[:] = mid_new
+
+    @pl.when(act_ref[i] == 0)
+    def _():
+        chg_ref[i, 0] = 0
+        out_ref[:] = lab_mid[:]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("tx", "periodic", "interpret")
+    jax.jit,
+    static_argnames=("tx", "periodic", "interpret", "n_sweeps", "th"),
+)
+def _pallas_sweep_round_skip(labels, act, tx: int, periodic: bool,
+                             interpret: bool = False,
+                             n_sweeps: int = None, th: int = None):
+    """(new_labels, per-block changed i32[n_b]): one block-skip round.
+
+    ``act`` is i32[n_b]; blocks with ``act == 0`` are passed through.
+    Halo loads of skipped blocks are remapped to the block itself via
+    the scalar-prefetch index map, so a skipped block moves one slab of
+    HBM traffic and no VPU work. ``th`` is the halo depth swept
+    (default min(tx, n_sweeps)); see ``_slab_sweeps``.
+    """
+    gx, gy, gz = labels.shape
+    n_b = gx // tx
+    if n_sweeps is None:
+        n_sweeps = min(tx, 8)
+    if th is None:
+        th = min(tx, n_sweeps)
+
+    def spec(off):
+        if off == 0:
+            return pl.BlockSpec((tx, gy, gz), lambda i, s: (i, 0, 0))
+        return pl.BlockSpec(
+            (tx, gy, gz),
+            lambda i, s: (
+                jnp.where(s[i] > 0, (i + off) % n_b, i), 0, 0
+            ),
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_b,),
+        in_specs=[spec(-1), spec(0), spec(1)],
+        out_specs=(
+            pl.BlockSpec((tx, gy, gz), lambda i, s: (i, 0, 0)),
+            # whole-array SMEM block (Mosaic rejects (1, 1) sub-blocks
+            # of an (n_b, 1) array); each grid step writes its own row
+            pl.BlockSpec(
+                (n_b, 1), lambda i, s: (0, 0), memory_space=pltpu.SMEM
+            ),
+        ),
+    )
+    out, chg = pl.pallas_call(
+        functools.partial(
+            _sweep_tile_skip_kernel, tx=tx, th=th, gy=gy, gz=gz,
+            periodic=periodic, n_sweeps=n_sweeps,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(labels.shape, labels.dtype),
+            jax.ShapeDtypeStruct((n_b, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(act.astype(jnp.int32), labels, labels, labels)
+    return out, chg[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tx", "periodic", "interpret", "n_sweeps",
+                     "run_doubling"),
 )
 def _pallas_sweep_round(labels, tx: int, periodic: bool,
-                        interpret: bool = False):
-    """(new_labels, changed): ``tx`` fused sweeps over the whole grid."""
+                        interpret: bool = False, n_sweeps: int = None,
+                        run_doubling: int = 0):
+    """(new_labels, changed): ``n_sweeps`` (default ``tx``) fused sweeps
+    over the whole grid, optionally with run-doubling passes."""
     gx, gy, gz = labels.shape
     n_b = gx // tx
     spec = lambda off: pl.BlockSpec(
@@ -712,7 +906,8 @@ def _pallas_sweep_round(labels, tx: int, periodic: bool,
     out, chg = pl.pallas_call(
         functools.partial(
             _sweep_tile_kernel, tx=tx, gy=gy, gz=gz, periodic=periodic,
-            n_sweeps=tx,
+            n_sweeps=tx if n_sweeps is None else n_sweeps,
+            run_doubling=run_doubling,
         ),
         grid=(n_b,),
         in_specs=[spec(-1), spec(0), spec(1)],
@@ -731,36 +926,140 @@ def _pallas_sweep_round(labels, tx: int, periodic: bool,
     return out, chg[0, 0] > 0
 
 
-def _pallas_sweep_tx(grid_shape):
+def _pallas_sweep_tx(grid_shape, run_doubling: bool = False):
     """Largest slab thickness in (8, 4, 2) dividing the x dim, or None
-    when the pallas sweep path is not worthwhile/possible."""
-    gx = grid_shape[0]
+    when the pallas sweep path is not worthwhile/possible.
+
+    Doubling rounds keep ~8 slab-sized arrays live on the Mosaic stack
+    (L, guard, roll temporaries across the unrolled log2 passes), so the
+    slab must also fit the 16 MB scoped-VMEM budget at its PADDED tile
+    size ((8, 128) int32 tiling on the trailing axes) — e.g. a 96x96x148
+    grid pads 148->256 lanes and OOMs at tx=8 (observed: 18.97M > 16M).
+    """
+    gx, gy, gz = grid_shape
+    row_bytes = 4 * (-(-gy // 8) * 8) * (-(-gz // 128) * 128)
     for tx in (8, 4, 2):
-        if gx % tx == 0 and gx // tx >= 2:
-            return tx
+        if gx % tx or gx // tx < 2:
+            continue
+        if run_doubling and 8 * (3 * tx) * row_bytes > 14 * 2**20:
+            continue
+        return tx
     return None
 
 
+def _pallas_skip_tb(grid_shape, th: int = 1):
+    """(tb, th) output-block rows / halo depth for the block-skip sweep
+    path, or (None, None) when no block shape fits.
+
+    Larger tb amortizes the 2*th halo rows over more output rows
+    (compute ratio (tb + 2*th)/tb per output row) but coarsens the
+    skip granularity (gx/tb blocks). Measured on the porous ZIF-4
+    96x96x148 grid (scripts/profile_flood.py): plain tx=8 sweeps
+    19.3 ms/frame; skip tb=8/th=8 15.4; tb=16/th=8 12.3; tb=16/th=2
+    8.5; tb=16/th=1/ns=4 **8.05** (chosen default; tb=24/32 and ns=2
+    are all slightly worse). The VMEM bound keeps ~4 slab-sized arrays
+    live at the padded (8, 128) int32 tile size."""
+    gx, gy, gz = grid_shape
+    row_bytes = 4 * (-(-gy // 8) * 8) * (-(-gz // 128) * 128)
+    for tb in (16, 8, 4, 2):
+        if gx % tb or gx // tb < 2:
+            continue
+        h = min(th, tb)
+        if 4 * (tb + 2 * h) * row_bytes > 14 * 2**20:
+            continue
+        return tb, h
+    return None, None
+
+
 def _propagate_fixpoint(init, periodic: bool, sweeps: int,
-                        use_pallas: Optional[bool] = None):
+                        use_pallas: Optional[bool] = None,
+                        n_sweeps: Optional[int] = None,
+                        run_doubling: Optional[int] = None,
+                        alternate: Optional[bool] = None,
+                        block_skip: bool = True,
+                        skip_tb: Optional[int] = None,
+                        skip_th: Optional[int] = None):
     """Run masked max-propagation to fixpoint (labels carry walls as -1).
 
     On TPU, slabs of sweeps run as a Mosaic kernel (one HBM pass per
-    ``tx`` sweeps, ~12x less traffic than materialized rolls); other
-    backends (and awkward grid dims) use the XLA roll path.
+    round, ~12x less traffic than materialized rolls); other backends
+    (and awkward grid dims) use the XLA roll path.
+
+    ``block_skip`` (default) carries per-block changed flags between
+    rounds and skips VPU work for blocks whose 3-slab neighborhood is
+    stable (``_sweep_tile_skip_kernel``) — exact, and a large win once
+    the flood-fill frontier narrows to a few slabs.
+
+    ``run_doubling`` interleaves full-run per-axis label propagation
+    inside each slab (see ``_sweep_tile_kernel``); ``alternate`` runs
+    each round as an (x-blocked, then transposed y-blocked) pass pair
+    so BOTH leading axes get full-axis doubling. Both are measured
+    LOSSES on the tunnel TPU (see the negative-result note on
+    ``_sweep_tile_kernel``) and stay off by default; they remain
+    selectable for profiling (scripts/profile_flood.py).
     """
     mask = init >= 0
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
-    tx = _pallas_sweep_tx(init.shape)
+    if run_doubling is None:
+        n_sweeps, run_doubling, alternate = None, 0, False
+    if run_doubling or alternate:
+        block_skip = False  # profiling variants pre-date the skip path
+    shape_t = (init.shape[1], init.shape[0], init.shape[2])
+    tx = _pallas_sweep_tx(init.shape, run_doubling=bool(run_doubling))
+    tx_t = _pallas_sweep_tx(shape_t, run_doubling=bool(run_doubling))
+    if alternate and (tx is None or tx_t is None):
+        alternate = False
+    if tx is None:
+        # slab too fat for doubling's VMEM live set: plain sweeps
+        tx = _pallas_sweep_tx(init.shape)
+        n_sweeps, run_doubling = None, 0
     if use_pallas and tx is not None:
+        tb, th = _pallas_skip_tb(init.shape)
+        if skip_tb is not None:
+            tb, th = skip_tb, skip_th
+        if block_skip and tb is not None:
+            n_b = init.shape[0] // tb
+            ns = 4 if n_sweeps is None else n_sweeps
+
+            def body(state):
+                labels, chg = state
+                act = chg | jnp.roll(chg, 1) | jnp.roll(chg, -1)
+                return _pallas_sweep_round_skip(
+                    labels, act, tb, periodic, n_sweeps=ns, th=th
+                )
+
+            labels, _ = jax.lax.while_loop(
+                lambda s: jnp.any(s[1] > 0), body,
+                (init, jnp.ones((n_b,), jnp.int32)),
+            )
+            return labels
 
         def cond(state):
             return state[1]
 
-        def body(state):
-            labels, _ = state
-            return _pallas_sweep_round(labels, tx, periodic)
+        if alternate:
+
+            def body(state):
+                labels, _ = state
+                l1, c1 = _pallas_sweep_round(
+                    labels, tx, periodic, n_sweeps=n_sweeps,
+                    run_doubling=run_doubling,
+                )
+                l2, c2 = _pallas_sweep_round(
+                    l1.transpose(1, 0, 2), tx_t, periodic,
+                    n_sweeps=n_sweeps, run_doubling=run_doubling,
+                )
+                return l2.transpose(1, 0, 2), c1 | c2
+
+        else:
+
+            def body(state):
+                labels, _ = state
+                return _pallas_sweep_round(
+                    labels, tx, periodic, n_sweeps=n_sweeps,
+                    run_doubling=run_doubling,
+                )
 
         labels, _ = jax.lax.while_loop(
             cond, body, (init, jnp.array(True))
