@@ -23,6 +23,23 @@ logger = logging.getLogger(__name__)
 _DEFAULT_DIR = os.path.expanduser("~/.cache/amof_tpu/xla_cache")
 
 
+def _host_fingerprint() -> str:
+    """Short stable id of this host's CPU feature set."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
+
+
 def enable_persistent_cache(path: str | None = None) -> str | None:
     """Point jax at a persistent on-disk compilation cache.
 
@@ -33,6 +50,14 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     if os.environ.get("AMOF_TPU_NO_COMPILE_CACHE"):
         return None
     path = path or os.environ.get("AMOF_TPU_COMPILE_CACHE") or _DEFAULT_DIR
+    # Partition by host fingerprint: XLA:CPU entries AOT-compiled on a
+    # machine with different CPU features are rejected at load time
+    # with an error-level log PER ENTRY (observed when the cache dir is
+    # shared via a network home between the bench host and this one).
+    # TPU entries are keyed on the accelerator, not the host, but they
+    # share the directory with the CPU sub-programs of the same run,
+    # so fingerprint unconditionally.
+    path = os.path.join(path, _host_fingerprint())
     try:
         os.makedirs(path, exist_ok=True)
     except OSError as e:  # read-only home etc. — cache is best-effort
