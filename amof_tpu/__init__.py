@@ -20,6 +20,7 @@ __version__ = "0.1.0"
 
 from amof_tpu.cache import enable_persistent_cache
 from amof_tpu.core.frames import Frame, FrameBatch, Trajectory, as_frame_batch
+from amof_tpu.warmup import warmup_mosaic
 
 # kill the cold start: persist compiled executables across processes
 # (751 s observed for a fresh-process full-bench compile, round 3)
@@ -31,5 +32,6 @@ __all__ = [
     "Trajectory",
     "as_frame_batch",
     "enable_persistent_cache",
+    "warmup_mosaic",
     "__version__",
 ]

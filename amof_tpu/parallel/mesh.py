@@ -44,6 +44,13 @@ def analysis_mesh(n_devices=None, frames_axis=None, n_frames=None) -> Mesh:
             used to auto-split frames/atoms as described above.
     """
     devices = jax.devices()
+    # every heavy analysis builds its mesh before compiling: fire the
+    # one-time Mosaic runtime warmup here so the remote worker's init
+    # (63-400 s on a cold pool grant; amof_tpu/warmup.py) overlaps
+    # program preparation and host->device transfers
+    from amof_tpu.warmup import warmup_mosaic
+
+    warmup_mosaic()
     n_avail = len(devices)
     if n_devices is not None:
         if n_devices > n_avail:

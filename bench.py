@@ -177,6 +177,12 @@ def main():
     from amof_tpu.parallel.pipeline import FusedAnalysis
 
     init_devices()
+    # overlap the remote worker's one-time Mosaic init (63-400 s when
+    # the pool grants a cold worker; amof_tpu/warmup.py) with
+    # trajectory generation / preparation / upload
+    import amof_tpu
+
+    amof_tpu.warmup_mosaic()
     if args.method is None and jax.default_backend() != "cpu":
         args.method = "pallas"  # fused Mosaic RDF kernel (frames-only mesh)
 
