@@ -206,6 +206,67 @@ def label_components(mask, periodic: bool = True, sweeps: int = 8):
     return _propagate_fixpoint(init, periodic, sweeps)
 
 
+def _propagate_seeded(init, periodic: bool, sweeps: int = 8,
+                      levels: int = 2, min_coarse: int = 16):
+    """Coarse-to-fine seeded masked max-propagation — exact multigrid
+    seeding for the flood-fill fixpoint.
+
+    The coarse cell mask keeps a cell open only when ALL 8 children are
+    open, so coarse adjacency implies fine connectivity: two
+    face-adjacent all-open cells have their 16 children mutually
+    connected. The coarse init is the max of each open cell's children,
+    so the coarse fixpoint computes, per cell, the max init over a
+    SUBSET of the cell's fine component — a valid monotone seed
+    (init <= seed <= component max). Running the fine fixpoint from
+    max(init, seed) therefore converges to exactly the same labels.
+
+    Truncated rows of odd axes and the 1-row wall pad that keeps the
+    coarse x dim even get no seed, and the coarse pass drops periodic
+    wrap unless every axis halves exactly — both only UNDER-seed,
+    which the exact fine fixpoint completes.
+
+    MEASURED NEGATIVE RESULT (v5e, porous ZIF-4 96x96x148 masks,
+    2026-08): flood-fill stage 6.2 -> 11.8 ms/frame with this seeding
+    both stages. Two causes: (a) for the LABEL stage the component max
+    usually sits in the 1-voxel boundary shell that the all-children
+    coarsening cannot cover, so the max still propagates at fine-grid
+    speed and the coarse pass is pure overhead; (b) the block-skip
+    sweep kernel already makes late fine rounds nearly free, so the
+    round-count cut the coarse seeds buy is small. Kept (with
+    bit-exactness tests, TestMultigridSeeding) because the seeding IS
+    sound and would pay off on propagation problems whose seeds are
+    value-free (binary reachability on thick-channel masks) under a
+    round-bound (non-block-skip) fixpoint; production paths call
+    ``_propagate_fixpoint`` directly.
+    """
+    gx, gy, gz = init.shape
+    cx, cy, cz = gx // 2, gy // 2, gz // 2
+    if levels <= 0 or min(cx, cy, cz) < min_coarse:
+        return _propagate_fixpoint(init, periodic, sweeps)
+    t = init[: 2 * cx, : 2 * cy, : 2 * cz].reshape(cx, 2, cy, 2, cz, 2)
+    cmask = (t >= 0).all(axis=(1, 3, 5))
+    cinit = jnp.where(cmask, t.max(axis=(1, 3, 5)), -1)
+    px = cx % 2  # Mosaic slab kernels need an even x dim
+    if px:
+        cinit = jnp.pad(
+            cinit, ((0, px), (0, 0), (0, 0)), constant_values=-1
+        )
+    cper = (periodic and px == 0
+            and (gx, gy, gz) == (2 * cx, 2 * cy, 2 * cz))
+    clab = _propagate_seeded(
+        cinit, cper, sweeps, levels=levels - 1, min_coarse=min_coarse
+    )[:cx]
+    seed = jnp.repeat(
+        jnp.repeat(jnp.repeat(clab, 2, axis=0), 2, axis=1), 2, axis=2
+    )
+    seed = jnp.pad(
+        seed,
+        ((0, gx - 2 * cx), (0, gy - 2 * cy), (0, gz - 2 * cz)),
+        constant_values=-1,
+    )
+    return _propagate_fixpoint(jnp.maximum(init, seed), periodic, sweeps)
+
+
 @jax.jit
 def percolating_flags(open_labels, mask):
     """Per-voxel flag: does this voxel's OPEN component wind around any

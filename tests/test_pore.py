@@ -1094,6 +1094,81 @@ class TestPallasSweeps:
         assert (np.asarray(lab)[mask] == np.asarray(lab)[mask].max()).all()
 
 
+class TestMultigridSeeding:
+    """Coarse-to-fine seeded fixpoint (``_propagate_seeded``) is exact:
+    the all-8-children-open coarsening only ever UNDER-seeds, so the
+    fine fixpoint must land on identical labels."""
+
+    @pytest.mark.parametrize("periodic", [True, False])
+    @pytest.mark.parametrize(
+        "shape", [(64, 64, 64), (66, 70, 74), (65, 67, 69)]
+    )
+    def test_label_equivalence(self, periodic, shape):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        for frac in (0.35, 0.7):
+            mask = rng.random(shape) < frac
+            init = np.where(
+                mask,
+                np.arange(mask.size, dtype=np.int32).reshape(shape), -1,
+            )
+            ref = np.asarray(grid_kernel._propagate_fixpoint(
+                jnp.asarray(init), periodic, 8
+            ))
+            got = np.asarray(grid_kernel._propagate_seeded(
+                jnp.asarray(init), periodic, 8
+            ))
+            np.testing.assert_array_equal(got, ref)
+
+    def test_channel_ternary_equivalence(self):
+        """propagate_channel's {-1, 0, 1} init through the seeded path:
+        the coarse max of a ternary field is still a valid seed."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(13)
+        shape = (64, 66, 70)
+        mask = rng.random(shape) < 0.6
+        seeds = mask & (rng.random(shape) < 0.01)
+        init = jnp.asarray(
+            np.where(seeds, 1, np.where(mask, 0, -1)).astype(np.int32)
+        )
+        ref = np.asarray(
+            grid_kernel._propagate_fixpoint(init, True, 8)
+        ) == 1
+        got = np.asarray(grid_kernel._propagate_seeded(init, True, 8)) == 1
+        np.testing.assert_array_equal(got, ref)
+
+    def test_thick_winding_channel(self):
+        """A 2-voxel-thick winding channel — exactly the regime the
+        coarse level accelerates (its core survives the all-children
+        coarsening) — still labels identically, including across the
+        periodic wrap."""
+        import jax.numpy as jnp
+
+        g = 48
+        mask = np.zeros((g, g, g), bool)
+        # square-wave channel marching along x, 2 voxels thick in y/z
+        z = 0
+        for x in range(g):
+            if x % 8 == 4:
+                z = (z + 6) % g
+                mask[x, 0:2, z - 6:z + 2 or None] = True
+            mask[x, 0:2, z:z + 2] = True
+        init = np.where(
+            mask, np.arange(mask.size, dtype=np.int32).reshape(mask.shape),
+            -1,
+        )
+        for periodic in (True, False):
+            ref = np.asarray(grid_kernel._propagate_fixpoint(
+                jnp.asarray(init), periodic, 8
+            ))
+            got = np.asarray(grid_kernel._propagate_seeded(
+                jnp.asarray(init), periodic, 8
+            ))
+            np.testing.assert_array_equal(got, ref)
+
+
 class TestMcVolume:
     """vol_method='mc' (Zeo++'s own estimator: exact probe-fit tests at
     MC points, connectivity from a possibly-coarse grid) agrees with
