@@ -1,9 +1,17 @@
 """
 CP2K output-file utilities.
 
+CP2K restarts re-emit already-written MD steps, so trajectory (`.xyz`)
+and tabular (`.ener`/`.cell`/`.stress`) outputs can contain duplicate
+step records and repeated header lines. The helpers here segment each
+file into step-keyed records, keep the first occurrence of every step,
+and rewrite the file atomically.
+
 Behavior parity: amof/files/cp2k.py (clean_xyz :12-41, clean_tabular
 :44-71, read_tabular :74-106) plus the .cell-file parsing embedded in
-amof/trajectory.py:208-228.
+amof/trajectory.py:208-228. The implementation is record-oriented
+(segment -> dedup -> re-emit) rather than the reference's single-pass
+write toggle; observable file contents are identical.
 """
 
 from __future__ import annotations
@@ -11,86 +19,131 @@ from __future__ import annotations
 import logging
 import os
 import re
+from typing import Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
 
 logger = logging.getLogger(__name__)
 
+# CP2K xyz frame comment, e.g. " i =      100, time =        50.000, E = ..."
+_XYZ_STEP_RE = re.compile(r"^ i = \s*(-?\d+),")
 
-def clean_xyz(filename):
-    """Remove duplicate timesteps from a CP2K xyz output in place.
 
-    Duplicate frames are detected via their ' i = <step>, time =' comment
-    line; later duplicates are dropped.
+def _segment_xyz(lines: Iterable[str]) -> Iterator[Tuple[Optional[int], List[str]]]:
+    """Split a CP2K xyz stream into (step, block) records.
+
+    A frame block spans from its atom-count line (the line immediately
+    before the ``' i = ...'`` comment) to the line before the next
+    frame's atom-count line. Anything before the first frame is yielded
+    as a single (None, preamble) record.
     """
-    seen_steps = set()
-    tmp = str(filename) + "_temp_rm_duplicates"
-    with open(filename, "r") as fr, open(tmp, "w") as fw:
-        previous = None
-        write_to_file = True
-        for line in fr:
-            if line[0:5] == " i = ":
-                step = int(re.search(" i = (.*), time =(.*)", line).group(1))
-                if step not in seen_steps:
-                    write_to_file = True
-                    seen_steps.add(step)
-                else:
-                    logger.info("Removing duplicate %s", step)
-                    write_to_file = False
-            if write_to_file and previous is not None:
-                fw.write(previous)
-            previous = line
-        if write_to_file:
-            fw.write(previous)
-    os.remove(filename)
-    os.rename(tmp, filename)
+    pending: List[str] = []  # lines not yet assigned to a frame
+    step: Optional[int] = None
+    block: List[str] = []
+    for line in lines:
+        match = _XYZ_STEP_RE.match(line)
+        if match is None:
+            pending.append(line)
+            continue
+        # `pending[-1]` is this frame's atom-count line; everything
+        # earlier belongs to the previous record.
+        head = pending[-1:]
+        tail = pending[:-1]
+        if step is None:
+            if block or tail:
+                yield None, block + tail
+        else:
+            yield step, block + tail
+        step = int(match.group(1))
+        block = head + [line]
+        pending = []
+    if step is None:
+        if block or pending:
+            yield None, block + pending
+    else:
+        yield step, block + pending
 
 
-def clean_tabular(filename):
-    """Remove duplicate steps and headers from CP2K tabular output
-    (ener / cell / stress files) in place."""
-    seen_steps = set()
+def _rewrite(filename, records: Iterable[List[str]]) -> None:
+    """Atomically replace `filename` with the concatenated records."""
     tmp = str(filename) + "_temp_rm_duplicates"
-    with open(filename, "r") as fr, open(tmp, "w") as fw:
-        fw.write(fr.readline())  # header of the first file
-        write_to_file = True
-        for line in fr:
-            if line[0] == "#":
-                write_to_file = False
-            else:
-                step = int(re.split(r"\ +", line)[1])
-                if step not in seen_steps:
-                    write_to_file = True
-                    seen_steps.add(step)
-                else:
-                    logger.info("Removing duplicate %s", line.strip("\n"))
-                    write_to_file = False
-            if write_to_file:
-                fw.write(line)
-    os.remove(filename)
-    os.rename(tmp, filename)
+    with open(tmp, "w") as fw:
+        for lines in records:
+            fw.writelines(lines)
+    os.replace(tmp, str(filename))
+
+
+def clean_xyz(filename) -> None:
+    """Drop repeated-step frames from a CP2K xyz output in place.
+
+    Frames are keyed by the step number in their ``' i = ...'`` comment
+    line; only the first occurrence of each step is kept.
+    """
+    with open(filename, "r") as fr:
+        records = list(_segment_xyz(fr))
+    kept: List[List[str]] = []
+    seen = set()
+    for step, block in records:
+        if step is not None:
+            if step in seen:
+                logger.info("Removing duplicate %s", step)
+                continue
+            seen.add(step)
+        kept.append(block)
+    _rewrite(filename, kept)
+
+
+def clean_tabular(filename) -> None:
+    """Drop repeated headers and repeated-step rows from a CP2K tabular
+    output (ener / cell / stress: one '#' header then one row per step)
+    in place. The first header line is kept; the step is the second
+    whitespace-separated field of each data row."""
+    with open(filename, "r") as fr:
+        header = fr.readline()
+        body = fr.readlines()
+    kept = [header]
+    seen = set()
+    for row in body:
+        if row.startswith("#"):
+            continue  # repeated header from a restart
+        step = int(row.split()[0])
+        if step in seen:
+            logger.info("Removing duplicate %s", row.rstrip("\n"))
+            continue
+        seen.add(step)
+        kept.append(row)
+    _rewrite(filename, [kept])
+
+
+def _header_fields(header_line: str) -> List[Tuple[str, str]]:
+    """Parse a CP2K tabular header into (column name, unit) pairs.
+
+    Columns are separated by runs of >= 2 spaces (single spaces can
+    occur inside a column title); each non-Step column carries its unit
+    in brackets, e.g. ``Volume [Ang^3]``.
+    """
+    cells = re.split(r"\  +", header_line.rstrip("\n"))[1:]  # [0] is '#'
+    fields: List[Tuple[str, str]] = []
+    for cell in cells:
+        if "Step" in cell:
+            fields.append(("Step", ""))
+            continue
+        title, unit = re.search(r"(.*)\[(.*)\]", cell).groups()
+        fields.append((title.strip(".").strip(" "), unit))
+    return fields
 
 
 def read_tabular(filename, return_units: bool = False):
     """Parse a CP2K tabular file (ener/cell/stress) into a DataFrame
     indexed by Step; optionally also return {column: unit}."""
     with open(filename, "r") as fr:
-        first_line = fr.readline().strip("\n")
-    columns = re.split(r"\  +", first_line)[1:]
-    names, units = [], []
-    for c in columns:
-        if "Step" in c:
-            names.append("Step")
-            units.append("")
-        else:
-            search = re.search(r"(.*)\[(.*)\]", c)
-            names.append(search.group(1).strip(".").strip(" "))
-            units.append(search.group(2))
-    df = pd.read_table(filename, skiprows=1, names=names, sep=r"\s+")
+        fields = _header_fields(fr.readline())
+    names = [name for name, _ in fields]
+    df = pd.read_csv(filename, skiprows=1, names=names, sep=r"\s+")
     df = df.set_index("Step")
     if return_units:
-        return df, dict(zip(names, units))
+        return df, dict(fields)
     return df
 
 

@@ -11,8 +11,6 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_lane_slice.py
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-
 import numpy as np
 
 
@@ -26,7 +24,9 @@ def main():
     S, G = 36, 37  # subcols x z-rows per (tile, chunk)
 
     rng = np.random.default_rng(0)
-    table = jnp.asarray(rng.random((n_tiles, F, Wext)), jnp.float32)
+    table = np.asarray(rng.random((n_tiles, F, Wext)), np.float32)
+    table[:, 3, :] *= 0.02  # thresholds small enough that 'ok' is mixed
+    table = jnp.asarray(table)
     starts = jnp.asarray(
         rng.integers(0, Wext - wz, size=(n_tiles,)), jnp.int32
     )
@@ -63,15 +63,37 @@ def main():
         ],
         out_specs=pl.BlockSpec((1, S, G), lambda i, s: (i, 0, 0)),
     )
+    interpret = jax.devices()[0].platform == "cpu"
     run = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, S, G), jnp.bool_),
+        interpret=interpret,
     )
 
     @jax.jit
     def probe(starts, table):
         return jnp.sum(run(starts, table).astype(jnp.int32))
+
+    # correctness oracle: same wz window at the same per-tile starts,
+    # sliced with lax.dynamic_slice — must match the Pallas checksum
+    @jax.jit
+    def windowed_xla(starts, table):
+        def one_tile(start, tab):
+            win = jax.lax.dynamic_slice(tab, (0, start), (F, wz))
+            fx, fy, fz, th = (win[k] for k in range(4))
+            sub = (jnp.arange(S, dtype=jnp.float32) / S)[:, None]
+            dfx = sub - fx[None, :]
+            dfy = sub - fy[None, :]
+            qq = dfx * dfx + dfy * dfy
+            qdz = 2.0 * dfx * dfy
+            vz = (jnp.arange(G, dtype=jnp.float32) / G)[None, :, None]
+            u = vz - fz[None, None, :]
+            u = u - jnp.round(u)
+            d2 = qq[:, None, :] + u * u + u * qdz[:, None, :]
+            return jnp.all(d2 >= th[None, None, :], axis=2)
+
+        return jax.vmap(one_tile)(starts, table)
 
     # full-window XLA reference cost: same compute over Wext candidates
     @jax.jit
@@ -93,6 +115,12 @@ def main():
     t0 = time.time()
     v = float(np.asarray(probe(starts, table)))
     print(f"pallas windowed: compile+run {time.time() - t0:.1f}s chk={v}")
+    ok_pallas = np.asarray(jax.jit(run)(starts, table))
+    ok_ref = np.asarray(windowed_xla(starts, table))
+    np.testing.assert_array_equal(ok_pallas, ok_ref)
+    n_true = int(ok_ref.sum())
+    assert 0 < n_true < ok_ref.size, "degenerate oracle (all-true/all-false)"
+    print(f"windowed xla oracle: elementwise match, {n_true}/{ok_ref.size} ok")
     ts = []
     for _ in range(5):
         t0 = time.time()

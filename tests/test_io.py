@@ -72,6 +72,54 @@ class TestCp2k:
         assert units["Volume"] == "Angstrom^3"
         assert len(df) == 10000
 
+    def test_clean_xyz_removes_duplicate_frames(self, tmp_path):
+        from amof_tpu.io.cp2k import clean_xyz
+
+        def frame(step, tag):
+            return (
+                "2\n"
+                f" i = {step:8d}, time = {step * 0.5:12.3f}, E = -1.0\n"
+                f"O {tag} 0.0 0.0\nH 0.0 {tag} 0.0\n"
+            )
+
+        # restart re-emits steps 1 and 2 with (discarded) new coordinates
+        path = tmp_path / "pos.xyz"
+        path.write_text(
+            frame(0, 1.0) + frame(1, 2.0) + frame(2, 3.0)
+            + frame(1, 9.0) + frame(2, 9.0) + frame(3, 4.0)
+        )
+        clean_xyz(path)
+        assert path.read_text() == (
+            frame(0, 1.0) + frame(1, 2.0) + frame(2, 3.0) + frame(3, 4.0)
+        )
+
+    def test_clean_xyz_no_duplicates_is_identity(self, tmp_path):
+        from amof_tpu.io.cp2k import clean_xyz
+
+        content = (
+            "1\n i =        0, time =        0.000, E = -1.0\nC 0 0 0\n"
+            "1\n i =        1, time =        0.500, E = -1.0\nC 1 0 0\n"
+        )
+        path = tmp_path / "pos.xyz"
+        path.write_text(content)
+        clean_xyz(path)
+        assert path.read_text() == content
+
+    def test_clean_tabular_removes_duplicates_and_headers(self, tmp_path):
+        from amof_tpu.io.cp2k import clean_tabular
+
+        header = "#   Step   Time [fs]        Volume [Angstrom^3]\n"
+        rows = {s: f"   {s}    {s * 0.5:.3f}    {1000.0 + s:.4f}\n"
+                for s in range(5)}
+        # restart: header repeated, steps 2-3 re-emitted
+        path = tmp_path / "run.cell"
+        path.write_text(
+            header + rows[0] + rows[1] + rows[2] + rows[3]
+            + header + rows[2] + rows[3] + rows[4]
+        )
+        clean_tabular(path)
+        assert path.read_text() == header + "".join(rows[s] for s in range(5))
+
     def test_read_cp2k_traj(self, tmp_path, cp2k_cell_file):
         frames = [
             Frame(np.random.rand(3, 3), [8, 1, 1]) for _ in range(5)

@@ -1153,7 +1153,11 @@ class TestMultigridSeeding:
         for x in range(g):
             if x % 8 == 4:
                 z = (z + 6) % g
-                mask[x, 0:2, z - 6:z + 2 or None] = True
+                # connecting rung from the previous level: 8 voxels
+                # ending at z+1, written modularly so a wrap across 0
+                # still produces a contiguous periodic segment
+                for k in range(8):
+                    mask[x, 0:2, (z - 6 + k) % g] = True
             mask[x, 0:2, z:z + 2] = True
         init = np.where(
             mask, np.arange(mask.size, dtype=np.int32).reshape(mask.shape),
