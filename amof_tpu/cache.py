@@ -40,6 +40,23 @@ def _host_fingerprint() -> str:
     return platform.machine() or "unknown"
 
 
+def _platform_tag() -> str:
+    """Short id of this process's jax platform configuration.
+
+    Distinct platform configs produce incompatible XLA:CPU AOT entries
+    on the SAME host: a TPU-attached process writes CPU sub-programs
+    compiled with +prefer-no-scatter/+prefer-no-gather features that a
+    plain-CPU process then rejects at load time with an error-level log
+    per entry (observed live, round 4). The platform is decided by
+    JAX_PLATFORMS / the axon pool env before backend init, so key on
+    those rather than initializing a backend just to ask.
+    """
+    plat = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if not plat:
+        plat = "axon" if os.environ.get("PALLAS_AXON_POOL_IPS") else "auto"
+    return "".join(c if c.isalnum() else "-" for c in plat) or "auto"
+
+
 def enable_persistent_cache(path: str | None = None) -> str | None:
     """Point jax at a persistent on-disk compilation cache.
 
@@ -56,8 +73,23 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     # shared via a network home between the bench host and this one).
     # TPU entries are keyed on the accelerator, not the host, but they
     # share the directory with the CPU sub-programs of the same run,
-    # so fingerprint unconditionally.
-    path = os.path.join(path, _host_fingerprint())
+    # so fingerprint unconditionally. Additionally partition by the jax
+    # platform config: TPU-attached and plain-CPU processes on the SAME
+    # host emit mutually incompatible XLA:CPU AOT entries (_platform_tag).
+    tag = _platform_tag()
+    path = os.path.join(path, _host_fingerprint() + "-" + tag)
+    # XLA:CPU embeds an AOT codegen result in every serialized
+    # executable and, on load, compares the compile-time LLVM feature
+    # string (which includes tuning pseudo-features like
+    # +prefer-no-scatter) against raw host cpuid features — an
+    # unconditional error-level log per entry even when the entry was
+    # written by this very host and platform, with no XLA flag to gate
+    # it (verified against jaxlib 0.9.0). The load still succeeds and
+    # warm runs are ~2x faster, so keep the cache and silence C++
+    # non-fatal logs on plain-CPU processes only (TPU runs keep full
+    # diagnostics). Opt out by setting TF_CPP_MIN_LOG_LEVEL yourself.
+    if tag == "cpu" and "TF_CPP_MIN_LOG_LEVEL" not in os.environ:
+        os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
     try:
         os.makedirs(path, exist_ok=True)
     except OSError as e:  # read-only home etc. — cache is best-effort
