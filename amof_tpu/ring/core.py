@@ -73,6 +73,44 @@ def normalize_ring_var(name: str) -> str:
     return _RING_VAR_CANONICAL.get(key, str(name))
 
 
+def write_rings_output(rstat_path, ring_arr, potentially_undiscovered,
+                       search_depth):
+    """Write one frame's census as RINGS-compatible ``rstat`` files —
+    the inverse of :meth:`Ring.read_rings_output`.
+
+    Emits ``RINGS-res-5.dat`` (primitive rings: n, RC(n), PN(n),
+    Pmax(n), Pmin(n)) and ``RINGS-res-3.dat`` (the
+    potentially-undiscovered-rings header) in the literal formats the
+    reference parses (amof/ring/core.py:165-173), so downstream tooling
+    written against the Fortran binary's on-disk outputs keeps working.
+    """
+    import pathlib
+
+    rstat_path = pathlib.Path(rstat_path)
+    rstat_path.mkdir(parents=True, exist_ok=True)
+    # exact spacing required by the reference's regex:
+    # '# Number of rings with n >  (.*) nodes which potentialy exist: (.*)'
+    (rstat_path / "RINGS-res-3.dat").write_text(
+        f"# Number of rings with n >  {int(search_depth)} nodes which "
+        f"potentialy exist: {float(potentially_undiscovered):.1f}\n"
+    )
+    var_axis = ring_arr._axis("ring_var")
+    var_order = [normalize_ring_var(v) for v in ring_arr.get_coord("ring_var")]
+    lines = [
+        "# Primitive ring statistics\n",
+        "# n  " + "  ".join(f"{v}(n)" for v in var_order) + "\n",
+    ]
+    sizes = ring_arr.get_coord("ring_size")
+    values = np.moveaxis(np.asarray(ring_arr), var_axis, -1).reshape(
+        len(sizes), len(var_order)
+    )
+    for n, row in zip(sizes, values):
+        lines.append(
+            f"{int(n)}  " + "  ".join(f"{float(v):.10g}" for v in row) + "\n"
+        )
+    (rstat_path / "RINGS-res-5.dat").write_text("".join(lines))
+
+
 def _frame_adjacency(frame, cutoff_dict):
     """Edge-resolved adjacency + per-edge image shifts (periodic).
 
@@ -153,11 +191,14 @@ class Ring:
     @classmethod
     def from_trajectory(cls, trajectory, nb_set_and_cutoff,
                         max_search_depth=32, delta_Step=1, first_frame=0,
-                        parallel=False):
+                        parallel=False, write_rstat=None):
         """Args:
             nb_set_and_cutoff: dict 'A-B' -> cutoff (Å); pairs absent
                 from the dict are not bonded.
             max_search_depth: largest ring size (nodes) to search.
+            write_rstat: optional directory; when given, per-frame
+                RINGS-compatible rstat trees are emitted there
+                (see :meth:`write_rstat`).
         """
         ring_class = cls(max_search_depth=max_search_depth)
         frames = as_frames(trajectory)
@@ -167,12 +208,14 @@ class Ring:
             number_of_frames=len(frames),
         )
         ring_class.compute_ring(frames, nb_list, step, parallel)
+        if write_rstat is not None:
+            ring_class.write_rstat(write_rstat)
         return ring_class
 
     @classmethod
     def from_reduced_trajectory(cls, reduced_trajectory, max_search_depth=32,
                                 discard_if_potentially_undiscovered_rings=False,
-                                parallel=False):
+                                parallel=False, write_rstat=None):
         """Ring census of a coarse-grained trajectory, gated on the
         reduction diagnostics (parity: amof/ring/core.py:80-108)."""
         ring_class = cls(
@@ -200,6 +243,8 @@ class Ring:
                     itertools.compress(reduced_trajectory.trajectory, subset)
                 )
                 ring_class.compute_ring(traj, nb_list, step, parallel)
+                if write_rstat is not None:
+                    ring_class.write_rstat(write_rstat)
                 return ring_class
         logger.info("No valid frame in reduced trajectory")
         return ring_class
@@ -328,6 +373,28 @@ class Ring:
                 report_search["Discarded frame"] = True
                 ring_arr = None
         return ring_arr, report_search
+
+    def write_rstat(self, directory):
+        """Emit per-frame RINGS-compatible ``rstat`` trees under
+        ``directory/Step-<step>/rstat/`` (see :func:`write_rings_output`;
+        the reference leaves these trees in per-frame tempdirs that
+        vanish, amof/ring/core.py:242-256 — here they are opt-in
+        persistent for tooling that consumes the Fortran binary's
+        outputs). Round-trips through :meth:`read_rings_output`."""
+        import pathlib
+
+        if "ring" not in self.data:
+            return
+        directory = pathlib.Path(directory)
+        arr = self.data["ring"]
+        for step in arr.get_coord("Step"):
+            row = self.report_search.loc[step]
+            write_rings_output(
+                directory / f"Step-{int(step)}" / "rstat",
+                arr.sel(Step=step),
+                row["Potentially undiscovered rings"],
+                row["Final search_depth"],
+            )
 
     def read_rings_output(self, rstat_path):
         """Parse a RINGS ``rstat`` output directory into the same

@@ -218,6 +218,65 @@ class TestRingClass:
         rs = (tmp_path / "t.report_search.csv")
         assert rs.exists()
 
+    def test_rstat_roundtrip(self, tmp_path):
+        """write_rstat emits RINGS-compatible trees that read back to
+        exactly Ring.data via read_rings_output (round-4 verdict #7)."""
+        f = self.hexagonal_frame()
+        ring = amring.Ring.from_trajectory(
+            [f, f], {"C-C": 1.6}, max_search_depth=16, delta_Step=10,
+            write_rstat=tmp_path,
+        )
+        arr = ring.data["ring"]
+        for step in arr.get_coord("Step"):
+            rstat = tmp_path / f"Step-{int(step)}" / "rstat"
+            assert (rstat / "RINGS-res-3.dat").exists()
+            back, undiscovered = ring.read_rings_output(rstat)
+            assert undiscovered == int(
+                ring.report_search.loc[step, "Potentially undiscovered rings"]
+            )
+            expect = arr.sel(Step=step)
+            assert list(back.get_coord("ring_var")) == list(
+                expect.get_coord("ring_var")
+            )
+            np.testing.assert_allclose(
+                np.asarray(back), np.asarray(expect), atol=1e-12
+            )
+
+    def test_rstat_readable_by_reference_parser_conventions(self, tmp_path):
+        """The emitted RINGS-res-5.dat parses under the reference's own
+        pandas incantation (header=1, escapechar='#', set_index(' n'),
+        amof/ring/core.py:169-173) and the res-3 header matches its
+        regex with the double-space spelling."""
+        import re
+
+        import pandas as pd
+
+        from amof_tpu.ring.core import write_rings_output
+        from amof_tpu.labeled import DataArray
+
+        arr = DataArray(
+            np.array([[3.0, 0.5, 0.25, 0.125], [7.0, 1.0, 0.75, 0.5]]),
+            coords=[("ring_size", np.array([4, 6])),
+                    ("ring_var", np.array(["RC", "PN", "Pmax", "Pmin"]))],
+        )
+        write_rings_output(tmp_path, arr, 2, 16)
+        first = (tmp_path / "RINGS-res-3.dat").read_text().splitlines()[0]
+        m = re.search(
+            r"# Number of rings with n >  (.*) nodes which potentialy "
+            r"exist: (.*)", first, re.M | re.I,
+        )
+        assert m is not None and round(float(m.group(2))) == 2
+        df = pd.read_csv(
+            tmp_path / "RINGS-res-5.dat", header=1, escapechar="#",
+            sep=r"\s+",
+        )
+        df = df.set_index(" n")
+        assert list(df.index) == [4, 6]
+        np.testing.assert_allclose(
+            df.to_numpy(),
+            [[3.0, 0.5, 0.25, 0.125], [7.0, 1.0, 0.75, 0.5]],
+        )
+
 
 class TestScale:
     def test_diamond_network_census(self):
