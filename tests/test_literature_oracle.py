@@ -23,6 +23,7 @@ import pytest
 
 import amof_tpu.bad as ambad
 import amof_tpu.rdf as amrdf
+from amof_tpu.core.frames import Frame
 
 
 def brute_force_pair_counts(frame, za, zb, r_edges):
@@ -196,3 +197,116 @@ class TestZif4LiteratureBad:
         assert mean_dev == pytest.approx(angles.mean(), abs=0.05)
         var_dev = (w * (theta - mean_dev) ** 2).sum() / w.sum()
         assert np.sqrt(var_dev) == pytest.approx(angles.std(), abs=0.1)
+
+
+class TestBadByCnPartialAnchor:
+    """Hand-computable anchor for BadByCn's 'partial' normalization
+    (amof/bad.py:287-295): per-cn histograms are density-normalized
+    then weighted by (angles at that cn) / (all angles), so the sum
+    over cn integrates to 1 and each cn integrates to its angle-count
+    share. The fixture's shares are known by construction, independent
+    of any histogram code."""
+
+    def two_cn_frame(self):
+        """One Zn with two N at 90 deg (cn=2, 1 angle) and one Zn with
+        three in-plane N 120 deg apart (cn=3, 3 angles). Big cell, no
+        image ambiguity. Partial weights must be exactly 1/4 and 3/4."""
+        d = 2.0
+        pos = [
+            [5.0, 5.0, 5.0],            # Zn (cn=2)
+            [5.0 + d, 5.0, 5.0],        # N
+            [5.0, 5.0 + d, 5.0],        # N -> one 90 deg angle
+            [20.0, 20.0, 20.0],         # Zn (cn=3)
+        ]
+        for k in range(3):
+            ang = 2 * np.pi * k / 3
+            pos.append([20.0 + d * np.cos(ang), 20.0 + d * np.sin(ang), 20.0])
+        species = [30, 7, 7, 30, 7, 7, 7]
+        return Frame(np.array(pos), species, np.eye(3) * 40.0)
+
+    def test_partial_weights_and_peaks(self):
+        frame = self.two_cn_frame()
+        dtheta = 0.5
+        bad = ambad.BadByCn.from_trajectory(
+            [frame], {"Zn-N": 2.2}, dtheta=dtheta, normalization="partial"
+        )
+        arr = bad.data["bad"]
+        # both species carry cutoffs, so the reference's "X" wildcard
+        # triples are enumerated too (amof/bad.py:251-258)
+        assert "N-Zn-N" in list(arr.get_coord("atom_triple"))
+        assert list(arr.get_coord("cn")) == [2, 3]
+        row2 = np.asarray(arr.sel(atom_triple="N-Zn-N", cn=2), np.float64)
+        row3 = np.asarray(arr.sel(atom_triple="N-Zn-N", cn=3), np.float64)
+        theta = np.asarray(arr.get_coord("theta"), np.float64)
+        # integral of each partial = its share of the 4 angles
+        assert row2.sum() * dtheta == pytest.approx(0.25, rel=1e-6)
+        assert row3.sum() * dtheta == pytest.approx(0.75, rel=1e-6)
+        # all mass at the constructed angles
+        assert theta[np.argmax(row2)] == pytest.approx(90.0, abs=dtheta)
+        assert theta[np.argmax(row3)] == pytest.approx(120.0, abs=dtheta)
+        assert row2[np.abs(theta - 90.0) > dtheta].sum() == 0
+        assert row3[np.abs(theta - 120.0) > dtheta].sum() == 0
+
+    def test_total_normalization_rows_are_densities(self):
+        frame = self.two_cn_frame()
+        dtheta = 0.5
+        bad = ambad.BadByCn.from_trajectory(
+            [frame], {"Zn-N": 2.2}, dtheta=dtheta, normalization="total"
+        )
+        arr = bad.data["bad"]
+        for cn in (2, 3):
+            row = np.asarray(arr.sel(atom_triple="N-Zn-N", cn=cn), np.float64)
+            assert row.sum() * dtheta == pytest.approx(1.0, rel=1e-6)
+
+
+class TestMechCsvIsotropicAnchor:
+    """Closed-form anchor for MechanicalProperties / '.mech.csv'
+    (amof/elastic/core.py:247-277): an isotropic stiffness matrix with
+    Lame parameters lambda=50, mu=30 GPa has textbook moduli
+    K = lambda + 2mu/3 = 70, G = mu = 30, E = 9KG/(3K+G) = 78.75,
+    nu = (3K-2G)/(2(3K+G)) = 0.3125, identical under Voigt, Reuss and
+    Hill averaging. Any drift in ELATE averaging or the CSV column /
+    index conventions fails this."""
+
+    LAM, MU = 50.0, 30.0
+
+    def iso_C(self):
+        lam, mu = self.LAM, self.MU
+        C = np.zeros((6, 6))
+        C[:3, :3] = lam
+        C[0, 0] = C[1, 1] = C[2, 2] = lam + 2 * mu
+        C[3, 3] = C[4, 4] = C[5, 5] = mu
+        return C.tolist()
+
+    def test_averages_match_closed_form(self):
+        from amof_tpu.elastic.core import MechanicalProperties
+
+        mech = MechanicalProperties.from_elastic(self.iso_C())
+        df = mech.data
+        assert list(df.index) == ["voigt", "reuss", "hill"]
+        assert list(df.columns) == [
+            "bulk_modulus", "youngs_modulus", "shear_modulus",
+            "poissons_ratio",
+        ]
+        assert df.index.name == "averaging_scheme"
+        K = self.LAM + 2 * self.MU / 3
+        G = self.MU
+        E = 9 * K * G / (3 * K + G)
+        nu = (3 * K - 2 * G) / (2 * (3 * K + G))
+        for scheme in ("voigt", "reuss", "hill"):
+            assert df.loc[scheme, "bulk_modulus"] == pytest.approx(K, rel=1e-9)
+            assert df.loc[scheme, "shear_modulus"] == pytest.approx(G, rel=1e-9)
+            assert df.loc[scheme, "youngs_modulus"] == pytest.approx(E, rel=1e-9)
+            assert df.loc[scheme, "poissons_ratio"] == pytest.approx(nu, rel=1e-9)
+
+    def test_mech_csv_roundtrip(self, tmp_path):
+        from amof_tpu.elastic.core import MechanicalProperties
+
+        mech = MechanicalProperties.from_elastic(self.iso_C())
+        mech.write(tmp_path / "example")
+        assert (tmp_path / "example.mech.csv").exists()
+        back = MechanicalProperties.from_file(tmp_path / "example")
+        assert list(back.data.index) == ["voigt", "reuss", "hill"]
+        np.testing.assert_allclose(
+            back.data.to_numpy(), mech.data.to_numpy(), rtol=1e-12
+        )
