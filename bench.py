@@ -117,6 +117,22 @@ def init_devices(retries=8, wait=75):
             time.sleep(wait)
 
 
+def cache_stats():
+    """(n_entries, total_MB) of the active persistent compile cache."""
+    import os
+
+    from amof_tpu import cache
+
+    path = cache.enable_persistent_cache()  # idempotent; returns dir
+    if not path or not os.path.isdir(path):
+        return 0, 0.0, path
+    names = os.listdir(path)
+    size = sum(
+        os.path.getsize(os.path.join(path, f)) for f in names
+    )
+    return len(names), size / 2**20, path
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=256)
@@ -166,6 +182,13 @@ def main():
     parser.add_argument("--max-neighbors", type=int, default=8,
                         help="initial BAD neighbor capacity; doubled "
                              "automatically while the overflow flag fires")
+    parser.add_argument("--north-star", type=int, default=10240,
+                        help="after the timed sections, run the ACTUAL "
+                             "north-star workload end to end: this many "
+                             "frames (>= the claimed 10k; a multiple of "
+                             "128 reuses the 128-frame dispatch programs) "
+                             "x --atoms through all five analyses on this "
+                             "chip, wall-clocked. 0 disables")
     args = parser.parse_args()
 
     if args.smoke:
@@ -215,11 +238,25 @@ def main():
                 float(np.asarray(v).sum())
             return out
 
+        # cold-start attribution (round-4 verdict, weak #4): wait out
+        # the one-time remote Mosaic worker init HERE (it was dispatched
+        # asynchronously before trajectory generation, so only the
+        # un-overlapped remainder is timed), snapshot the persistent
+        # cache around the first call so hits (0 new entries) vs misses
+        # (new entries written) are visible in the artifact
+        n0, mb0, cache_dir = cache_stats()
+        t0 = time.time()
+        amof_tpu.warmup_mosaic(block=True)
+        mosaic_wait = time.time() - t0
         t0 = time.time()
         out = run_once()
         compile_time = time.time() - t0
-        print(f"bench: first call (compile+run, K={k_cap}) "
-              f"{compile_time:.1f}s", file=sys.stderr)
+        n1, mb1, _ = cache_stats()
+        print(f"bench: cold-start split: mosaic_init_wait={mosaic_wait:.1f}s "
+              f"first_call(K={k_cap})={compile_time:.1f}s "
+              f"cache[{cache_dir}]: {n0} entries/{mb0:.0f} MB -> "
+              f"{n1}/{mb1:.0f} MB ({n1 - n0} misses written)",
+              file=sys.stderr)
         if args.no_bad or not np.asarray(out["bad_overflow"]).any():
             break
         k_cap *= 2  # capacity insufficient: retry, never truncate
@@ -389,6 +426,89 @@ def main():
                 "porous_asa_total_A2": round(pvals[0], 1),
                 "porous_av_total_A3": round(pvals[2], 1),
             }
+
+    if args.north_star and not args.smoke:
+        # The ACTUAL north-star workload, not an extrapolation: >= 10k
+        # frames x 10k atoms through all five analyses on this chip,
+        # wall-clocked with device-resident inputs (the same contract
+        # as the per-frame sections; input upload through the tunnel is
+        # reported separately — a real v5e host doesn't pay a 10 MB/s
+        # proxy link). 10240 frames = 80 dispatches of the same
+        # 128-frame programs the timed section compiled.
+        try:
+            nsf = args.north_star
+            print(f"bench: north star: generating {nsf} frames x "
+                  f"{args.atoms} atoms", file=sys.stderr)
+            ns_batch, _ = make_trajectory(nsf, args.atoms)
+            ns_mesh = analysis_mesh(n_frames=nsf)
+            fa_ns = FusedAnalysis(
+                {"Zn-N": 2.0, "C-C": 1.75, "C-N": 1.73, "C-H": 1.3},
+                dr=args.dr, dtheta=args.dtheta, chunk=args.chunk,
+                method=args.method, with_bad=not args.no_bad,
+                with_msd=not args.no_msd, max_neighbors=k_cap,
+                frames_per_call=args.frames_per_call or None,
+            )
+            ns_fn, ns_args, _ = fa_ns.prepare(ns_batch, mesh=ns_mesh)
+            t0 = time.time()
+            ns_args = jax.device_put(ns_args)
+            jax.block_until_ready(ns_args)
+            upload_s = time.time() - t0
+            t0 = time.time()
+            ns_out = ns_fn(*ns_args)
+            for v in ns_out.values():
+                float(np.asarray(v).sum())
+            ns_fused_s = time.time() - t0
+            if not args.no_bad and np.asarray(ns_out["bad_overflow"]).any():
+                raise RuntimeError("north-star neighbor overflow")
+            del ns_out, ns_args
+
+            ns_pore_s = None
+            if not args.no_pore:
+                from amof_tpu.pore.batch import BatchedPore
+
+                bp_ns = BatchedPore(
+                    resolution=args.pore_resolution,
+                    vol_method=args.pore_vol_method,
+                    conn_resolution=args.pore_conn_resolution,
+                )
+                np_fn, np_args, _ = bp_ns.prepare(ns_batch, mesh=ns_mesh)
+                t0 = time.time()
+                np_args = jax.device_put(np_args)
+                jax.block_until_ready(np_args)
+                upload_s += time.time() - t0
+                t0 = time.time()
+                res = np_fn(*np_args)
+                vals = [float(np.asarray(v).sum()) for v in res[:4]]
+                assert not np.asarray(res[4]).any(), "pore window miss"
+                ns_pore_s = time.time() - t0
+                del res, np_args
+            ns_total = ns_fused_s + (ns_pore_s or 0.0)
+            print(
+                f"bench: north star MEASURED: {nsf} frames {analyses} in "
+                f"{ns_total:.1f}s on 1 chip (fused {ns_fused_s:.1f}s + "
+                f"pore {ns_pore_s if ns_pore_s is not None else 0:.1f}s; "
+                f"upload {upload_s:.1f}s separate) -> /8 chips = "
+                f"{ns_total / 8:.1f}s vs the 60 s target",
+                file=sys.stderr,
+            )
+            diag.update({
+                "north_star_frames": nsf,
+                "north_star_wall_s": round(ns_total, 1),
+                "north_star_fused_s": round(ns_fused_s, 1),
+                "north_star_pore_s": (
+                    round(ns_pore_s, 1) if ns_pore_s is not None else None
+                ),
+                "north_star_upload_s": round(upload_s, 1),
+                "north_star_wall_s_per_8chips": round(ns_total / 8, 1),
+            })
+        except Exception as e:  # noqa: BLE001 — diagnostics must survive
+            print(f"bench: north star run failed: {e!r}", file=sys.stderr)
+            diag["north_star_error"] = repr(e)[:200]
+
+    diag.update({
+        "first_call_s": round(compile_time, 1),
+        "mosaic_init_wait_s": round(mosaic_wait, 1),
+    })
 
     frames_per_sec = 1.0 / per_frame_total
     n_chips = len(jax.devices())
