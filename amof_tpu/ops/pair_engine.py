@@ -187,6 +187,7 @@ def frame_rdf_counts(
     method: str = "scatter",
     i_start=0,
     n_i: int = None,
+    ortho: bool = False,
 ):
     """Distance histogram of one frame: counts [n_species², bins].
 
@@ -222,7 +223,7 @@ def frame_rdf_counts(
         return pallas_rdf_counts(
             positions, cell, species_idx, dr, n_species, bins,
             ti=256, tj=_pick_chunk(n, 1024),
-        )
+        )  # (ortho fast path lives on the blocked kernel only)
     if method == "pallas-blocked":
         # requires species_block_layout order (see pallas_rdf); the
         # fused pipeline applies the layout at prepare time
@@ -237,7 +238,7 @@ def frame_rdf_counts(
             positions, cell, species_idx, dr, n_species, bins,
             # tj=256 allows 256-atom species blocks (less pad) and
             # g=64 fattens the one-hot dots: ~5% over (512, 32)
-            ti=256, tj=_pick_chunk(n, 256), g=64,
+            ti=256, tj=_pick_chunk(n, 256), g=64, ortho=ortho,
         )
     return _frame_rdf_counts_xla(
         positions, cell, species_idx, dr,

@@ -280,7 +280,7 @@ def apply_atom_layout(positions, perm):
 
 def _kernel_blocked(scalars, atoms_i_ref, atoms_j_ref, out_ref, acc_ref,
                     kh_ref, kl_ref, *, n_species, bins, ti, tj, hi2,
-                    n_atoms, g, p):
+                    n_atoms, g, p, ortho=False):
     i_t = pl.program_id(0)
     j_t = pl.program_id(1)
 
@@ -308,15 +308,31 @@ def _kernel_blocked(scalars, atoms_i_ref, atoms_j_ref, out_ref, acc_ref,
         inv = [scalars[k] for k in range(9)]
         cel = [scalars[9 + k] for k in range(9)]
         inv_dr = scalars[18]
-        fx = dx * inv[0] + dy * inv[3] + dz * inv[6]
-        fy = dx * inv[1] + dy * inv[4] + dz * inv[7]
-        fz = dx * inv[2] + dy * inv[5] + dz * inv[8]
+        if ortho:
+            # diagonal cell (caller-certified): drop the cross terms of
+            # both 3x3 transforms. Per-axis ops are identical to the
+            # triclinic path with zero off-diagonals, so this is
+            # bit-equal to it (verified on v5e: probe_rdf_variants
+            # 'ortho' variants, 2026-08-20) while skipping 24 of the
+            # ~40 distance madds
+            fx = dx * inv[0]
+            fy = dy * inv[4]
+            fz = dz * inv[8]
+        else:
+            fx = dx * inv[0] + dy * inv[3] + dz * inv[6]
+            fy = dx * inv[1] + dy * inv[4] + dz * inv[7]
+            fz = dx * inv[2] + dy * inv[5] + dz * inv[8]
         fx = fx - jnp.floor(fx + (0.5 + WRAP_EPS))
         fy = fy - jnp.floor(fy + (0.5 + WRAP_EPS))
         fz = fz - jnp.floor(fz + (0.5 + WRAP_EPS))
-        wx = fx * cel[0] + fy * cel[3] + fz * cel[6]
-        wy = fx * cel[1] + fy * cel[4] + fz * cel[7]
-        wz = fx * cel[2] + fy * cel[5] + fz * cel[8]
+        if ortho:
+            wx = fx * cel[0]
+            wy = fy * cel[4]
+            wz = fz * cel[8]
+        else:
+            wx = fx * cel[0] + fy * cel[3] + fz * cel[6]
+            wy = fx * cel[1] + fy * cel[4] + fz * cel[7]
+            wz = fx * cel[2] + fy * cel[5] + fz * cel[8]
         d = jnp.sqrt(wx * wx + wy * wy + wz * wz)
         b = jnp.floor(d * inv_dr).astype(jnp.int32)  # [TI, TJ]
 
@@ -345,30 +361,33 @@ def _kernel_blocked(scalars, atoms_i_ref, atoms_j_ref, out_ref, acc_ref,
         kh_ref[:] = jnp.right_shift(key, lo_bits)
         kl_ref[:] = jnp.bitwise_and(key, loq - 1)
 
-        iota_h = jax.lax.broadcasted_iota(jnp.int32, (hi2, 1), 0)
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (loq, 1), 0)
+        # f32 compares measured ~6% faster than i32 on v5e (Mosaic
+        # rejects i8/bf16 vector compares outright — "Target does not
+        # support this comparison" — so 32-bit lanes are the floor);
+        # key parts are small integers, exactly representable
+        iota_h = jax.lax.broadcasted_iota(jnp.float32, (1, hi2, 1), 1)
+        iota_l = jax.lax.broadcasted_iota(jnp.float32, (1, loq, 1), 1)
         acc_ref[:] = jnp.zeros_like(acc_ref)
         gq = g // p
+        K = gq * tj
 
         # every row in the tile is the same species pair, so row
         # histograms simply add: flatten g rows into one long
-        # contraction — one fat dot instead of g thin ones
+        # contraction — one fat dot instead of g thin ones. The p
+        # streams compare as a [p, hi2|loq, K] broadcast and reshape
+        # (layout no-op) into the banded operands — no concatenate of
+        # the materialized one-hots (a full extra VMEM pass at p=1..4)
         def row_body(r, _):
-            oh_h_parts = []
-            oh_l_parts = []
-            for q in range(p):
-                krh = kh_ref[pl.ds(r * g + q * gq, gq), :].reshape(
-                    1, gq * tj
-                )
-                krl = kl_ref[pl.ds(r * g + q * gq, gq), :].reshape(
-                    1, gq * tj
-                )
-                oh_h_parts.append(krh == iota_h)  # [hi2, gq*TJ]
-                oh_l_parts.append(krl == iota_l)  # [loq, gq*TJ]
-            oh_h = jnp.concatenate(oh_h_parts, axis=0).astype(jnp.int8)
-            oh_l = jnp.concatenate(oh_l_parts, axis=0).astype(jnp.int8)
+            kh3 = kh_ref[pl.ds(r * g, g), :].astype(jnp.float32).reshape(
+                p, 1, K
+            )
+            kl3 = kl_ref[pl.ds(r * g, g), :].astype(jnp.float32).reshape(
+                p, 1, K
+            )
+            oh_h = (kh3 == iota_h).astype(jnp.int8)  # [p, hi2, K]
+            oh_l = (kl3 == iota_l).astype(jnp.int8)  # [p, loq, K]
             acc_ref[:] += jax.lax.dot_general(
-                oh_h, oh_l,
+                oh_h.reshape(p * hi2, K), oh_l.reshape(p * loq, K),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
@@ -384,7 +403,7 @@ def _kernel_blocked(scalars, atoms_i_ref, atoms_j_ref, out_ref, acc_ref,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_species", "bins", "ti", "tj", "g", "p", "interpret",
+        "n_species", "bins", "ti", "tj", "g", "p", "ortho", "interpret",
     ),
 )
 def pallas_rdf_counts_blocked(
@@ -398,6 +417,7 @@ def pallas_rdf_counts_blocked(
     tj: int = 512,
     g: int = 32,
     p="auto",
+    ortho: bool = False,
     interpret: bool = False,
 ):
     """Species-blocked variant of ``pallas_rdf_counts``.
@@ -462,7 +482,7 @@ def pallas_rdf_counts_blocked(
     )
     kernel = functools.partial(
         _kernel_blocked, n_species=n_species, bins=bins, ti=ti, tj=tj,
-        hi2=hi2, n_atoms=n, g=g, p=p,
+        hi2=hi2, n_atoms=n, g=g, p=p, ortho=ortho,
     )
     counts = pl.pallas_call(
         kernel,

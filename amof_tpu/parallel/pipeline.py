@@ -59,6 +59,9 @@ def _make_step(
     bad_window: Optional[int],
     with_rdf: bool = True,
     bad_slab=None,  # ops.slab_table.SlabPlan: 2-level window upgrade
+    ortho: bool = False,  # all cells diagonal (caller-certified from
+    #                       the numpy cells at prepare time): the pallas
+    #                       RDF kernel drops the triclinic cross terms
 ):
     frames_ax = mesh.shape["frames"]
     atoms_ax = mesh.shape["atoms"]
@@ -93,6 +96,7 @@ def _make_step(
                 rdf = vol * pair_engine.frame_rdf_counts(
                     pos, cell, species_idx, dr, n_species, bins,
                     chunk=chunk, method=method, i_start=i0, n_i=a_local,
+                    ortho=ortho,
                 )
             else:
                 # BAD-only rerun step (chunked path): the first pass's
@@ -481,10 +485,16 @@ class FusedAnalysis:
                 positions=positions, species_idx=species_idx,
             )
 
+        # diagonal-cell certificate for the pallas RDF fast path: a
+        # static (trace-time) property of the trajectory's cells
+        ortho = bool(
+            np.all(cells == cells * np.eye(3, dtype=cells.dtype))
+        )
+
         if self.frames_per_call is not None:
             step_fn = self._make_chunked_step(
                 mesh, n_species, bins, bad_bins, method, positions,
-                bad_window, meta, bad_slab=bad_slab,
+                bad_window, meta, bad_slab=bad_slab, ortho=ortho,
             )
             return step_fn, args, meta
 
@@ -493,12 +503,13 @@ class FusedAnalysis:
             float(self.dtheta), self.max_neighbors, self.chunk, method,
             positions.shape[1], self.with_bad, self.with_msd,
             self.origin_policy, bad_window, bad_slab=bad_slab,
+            ortho=ortho,
         )
         return step_fn, args, meta
 
     def _make_chunked_step(self, mesh, n_species, bins, bad_bins,
                            method, positions, bad_window, meta,
-                           bad_slab=None):
+                           bad_slab=None, ortho=False):
         """Host-looped step: pair stage in <= frames_per_call-frame
         dispatches (f64 accumulation across calls is exact at any
         frame count), MSD in atom-blocked dispatches with bounded
@@ -542,7 +553,7 @@ class FusedAnalysis:
                     float(self.dtheta), k_cap, self.chunk, method,
                     n_pad, self.with_bad, False, self.origin_policy,
                     bad_window, with_rdf=with_rdf,
-                    bad_slab=bad_slab if slab else None,
+                    bad_slab=bad_slab if slab else None, ortho=ortho,
                 )
             return pair_steps[key]
 

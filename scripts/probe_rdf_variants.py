@@ -56,7 +56,7 @@ def main():
 
     def _kernel_v2(scalars, atoms_i_ref, atoms_j_ref, out_ref, acc_ref,
                    kh_ref, kl_ref, *, n_species, bins, ti, tj, hi2,
-                   n_atoms, g, p, cmp_dtype, ortho):
+                   n_atoms, g, p, cmp_dtype, ortho, mode="full"):
         i_t = pl.program_id(0)
         j_t = pl.program_id(1)
 
@@ -108,6 +108,18 @@ def main():
 
             gi = i_t * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
             gj = j_t * tj + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+            if mode == "distonly":
+                # cost split diagnostic: distance + key, NO histogram
+                acc_ref[:] = jnp.broadcast_to(
+                    jnp.sum(b).reshape(1, 1), acc_ref.shape
+                )
+                out_ref[pl.ds(0, 1)] += acc_ref[:].astype(jnp.float32)[None]
+                return
+            if mode == "histonly":
+                # cost split diagnostic: cheap synthetic key, full
+                # histogram machinery, NO distance pass
+                b = jnp.bitwise_and(gi * 7 + gj * 13, 2047)
+                b = jnp.minimum(b, bins - 1)
             valid = (
                 (gi < gj) & (si >= 0) & (sj >= 0) & (b < bins)
                 & (gj < n_atoms)
@@ -149,11 +161,11 @@ def main():
     @functools.partial(
         jax.jit,
         static_argnames=("n_species", "bins", "ti", "tj", "g", "p",
-                         "cmp", "ortho", "interpret"),
+                         "cmp", "ortho", "mode", "interpret"),
     )
     def rdf_v2(positions, cell, species_idx, dr, n_species, bins,
                ti=256, tj=512, g=32, p=None, cmp="i32", ortho=False,
-               interpret=False):
+               mode="full", interpret=False):
         n = positions.shape[0]
         if p is None:
             p = resolve_packing(bins, g, n_species, ti, tj)
@@ -188,7 +200,7 @@ def main():
         kernel = functools.partial(
             _kernel_v2, n_species=n_species, bins=bins, ti=ti, tj=tj,
             hi2=hi2, n_atoms=n, g=g, p=p, cmp_dtype=cmp_dtype,
-            ortho=ortho)
+            ortho=ortho, mode=mode)
         counts = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(
@@ -261,17 +273,22 @@ def main():
             print(f"{name}: bit-equal to base", flush=True)
 
     spec = {
-        # NOTE (v5e, 2026-08-20): cmp="i8" is REJECTED by Mosaic —
-        # "Target does not support this comparison" on
-        # vector<8x128x4xi8> eq — int8 compares don't exist on this
-        # target even though the packing materializes; bf16 is the
-        # widest packed compare available.
+        # NOTE (v5e, 2026-08-20): cmp="i8" AND cmp="bf16" are REJECTED
+        # by Mosaic — "Target does not support this comparison" on
+        # vector<8x128x4xi8> / bf16 eq — this target compares only at
+        # 32-bit vector width, so the one-hot build cannot be packed
+        # below one 32-bit lane per compare.
         "nocat": dict(cmp="i32", ortho=False),
         "i8": dict(cmp="i8", ortho=False),
         "bf16": dict(cmp="bf16", ortho=False),
         "f32": dict(cmp="f32", ortho=False),
-        "ortho": dict(cmp="bf16", ortho=True),
-        "orthog64": dict(cmp="bf16", ortho=True, g=64),
+        "ortho": dict(cmp="i32", ortho=True),
+        "orthog64": dict(cmp="i32", ortho=True, g=64),
+        "orthof32g64": dict(cmp="f32", ortho=True, g=64),
+        "p2orthof32g64": dict(cmp="f32", ortho=True, g=64, p=2),
+        # cost-split diagnostics (checksums intentionally differ)
+        "distonly": dict(cmp="i32", ortho=False, mode="distonly"),
+        "histonly": dict(cmp="i32", ortho=False, mode="histonly"),
     }
     for name in variants:
         if name == "base":
@@ -281,7 +298,8 @@ def main():
             lambda ps, kw: rdf_v2(
                 ps, cell_j, spb_j, args.dr, n_sp, bins,
                 interpret=args.interpret, **kw), kw=kw))
-        check(name, out)
+        if kw.get("mode", "full") == "full":
+            check(name, out)
         results[name] = (out, ms)
 
 

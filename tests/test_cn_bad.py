@@ -167,6 +167,7 @@ class TestBad:
         back = ambad.Bad.from_file(tmp_path / "t")
         assert np.allclose(back.data, bad.data)
 
+    @pytest.mark.slow
     def test_overflow_retry(self):
         """Dense cluster exceeding the initial neighbor capacity of 16
         must retry, not truncate."""

@@ -12,6 +12,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import __graft_entry__ as graft_entry  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 
 def test_entry_compiles_and_runs():
     fn, args = graft_entry.entry()

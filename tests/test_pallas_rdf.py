@@ -111,6 +111,67 @@ class TestPallasRdfBlocked:
         ))
         assert np.array_equal(ref, got)
 
+    def test_ortho_fast_path_bit_exact(self):
+        """ortho=True (diagonal-cell cross-term skip) is bit-equal to
+        the triclinic path on a diagonal cell — same per-axis ops with
+        zero off-diagonals (v5e-verified in probe_rdf_variants)."""
+        from amof_tpu.ops.pallas_rdf import (
+            apply_atom_layout,
+            pallas_rdf_counts_blocked,
+            species_block_layout,
+        )
+
+        rng = np.random.default_rng(31)
+        n, box, s = 384, 10.0, 2
+        pos = rng.uniform(0, box, (n, 3)).astype(np.float32)
+        cell = (np.eye(3) * box).astype(np.float32)
+        sp = rng.integers(0, s, n).astype(np.int32)
+        perm, sp_l = species_block_layout(sp, block=128, total_multiple=128)
+        pos_l = apply_atom_layout(pos, perm)
+        kw = dict(ti=128, tj=128, g=16, interpret=True)
+        tri = np.asarray(pallas_rdf_counts_blocked(
+            pos_l, cell, sp_l, 0.05, s, 120, ortho=False, **kw
+        ))
+        ort = np.asarray(pallas_rdf_counts_blocked(
+            pos_l, cell, sp_l, 0.05, s, 120, ortho=True, **kw
+        ))
+        assert np.array_equal(tri, ort)
+
+    def test_pipeline_certifies_diagonal_cells(self):
+        """FusedAnalysis.prepare flags ortho only when every frame's
+        cell is exactly diagonal."""
+        from amof_tpu.core.frames import FrameBatch
+        from amof_tpu.parallel.mesh import analysis_mesh
+        from amof_tpu.parallel import pipeline as pl_mod
+
+        seen = []
+        orig = pl_mod._make_step
+
+        def spy(*a, **kw):
+            seen.append(kw.get("ortho"))
+            return orig(*a, **kw)
+
+        rng = np.random.default_rng(5)
+        pos = rng.uniform(0, 8.0, (2, 32, 3)).astype(np.float32)
+        sp = np.full(32, 6, np.int32)
+        step = np.arange(2, dtype=np.int32)
+        diag = np.tile(np.eye(3, dtype=np.float32) * 8.0, (2, 1, 1))
+        tric = diag.copy()
+        tric[0, 0, 1] = 0.5
+        pl_mod._make_step = spy
+        try:
+            fa = pl_mod.FusedAnalysis(
+                {"C-C": 1.7}, dr=0.1, dtheta=2.0, chunk=16,
+                method="scatter", with_bad=False, with_msd=False,
+            )
+            fa.prepare(FrameBatch(pos, diag, sp, step),
+                       mesh=analysis_mesh(1))
+            fa.prepare(FrameBatch(pos, tric, sp, step),
+                       mesh=analysis_mesh(1))
+        finally:
+            pl_mod._make_step = orig
+        assert seen == [True, False]
+
     def test_packing_production_bins_auto_bit_exact(self):
         """Auto packing at the production bin count (~1368: rmax =
         half_cell, dr = 0.02) resolves to p=4 (hardware-measured

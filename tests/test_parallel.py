@@ -43,6 +43,7 @@ class TestMesh:
 
 
 class TestFusedPipeline:
+    @pytest.mark.slow
     def test_mesh_invariance(self, fused):
         frames = tiny_trajectory()
         ref, _ = fused.run(frames, mesh=analysis_mesh(1))
@@ -168,6 +169,7 @@ class TestFusedPipeline:
                 out[key], out_ref[key], rtol=1e-6, err_msg=key
             )
 
+    @pytest.mark.slow
     def test_chunked_long_trajectory_msd(self):
         """F=4096, A=512: the atom-blocked MSD path at a long-time
         shape equals the monolithic result (SURVEY §5.7 'Done'

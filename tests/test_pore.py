@@ -415,6 +415,7 @@ class TestBatchedPore:
                     ref[key], rel=1e-5, abs=1e-4
                 ), (i, key)
 
+    @pytest.mark.slow
     def test_columns_path_matches_per_frame(self):
         """The three-level column path (the production fast path: mask
         kernel + tile MC points + column surface sampling) engages at
@@ -465,6 +466,7 @@ class TestBatchedPore:
                 ) + 2 * box**3 * 0.015
                 assert abs(records[0]["AV_A^3"] - ref["AV_A^3"]) < tol
 
+    @pytest.mark.slow
     def test_columns_path_triclinic_npt(self):
         """Column path on varying triclinic cells vs per-frame path."""
         from amof_tpu.core.frames import FrameBatch
@@ -498,6 +500,7 @@ class TestBatchedPore:
                     ref[key], rel=1e-5, abs=1e-4
                 ), (i, key)
 
+    @pytest.mark.slow
     def test_mc_window_miss_retries_same_estimator(self):
         """MC-mode window misses re-run the missed frames with widened
         windows instead of falling back to the fine-grid estimator
@@ -533,6 +536,7 @@ class TestBatchedPore:
             for key in ("ASA_A^2", "NASA_A^2", "AV_A^3", "NAV_A^3"):
                 assert records[i][key] == ref_records[i][key], (i, key)
 
+    @pytest.mark.slow
     def test_batched_winding_exact_certifies_practical(self):
         """winding='exact' on a practical porous batch: the host
         certificate confirms every frame (no recompute) and the records
@@ -557,6 +561,7 @@ class TestBatchedPore:
             for key in ("ASA_A^2", "NASA_A^2", "AV_A^3", "NAV_A^3"):
                 assert records[i][key] == ref_records[i][key], (i, key)
 
+    @pytest.mark.slow
     def test_batched_winding_exact_composite_channel(self):
         """End to end: atoms carving the composite double-helix void.
         The default face test classifies the winding composite as
@@ -1103,6 +1108,7 @@ class TestMultigridSeeding:
     @pytest.mark.parametrize(
         "shape", [(64, 64, 64), (66, 70, 74), (65, 67, 69)]
     )
+    @pytest.mark.slow
     def test_label_equivalence(self, periodic, shape):
         import jax.numpy as jnp
 
@@ -1190,6 +1196,7 @@ class TestMcVolume:
             np.arange(n_frames, dtype=np.int32),
         )
 
+    @pytest.mark.slow
     def test_mc_matches_grid(self):
         from amof_tpu.pore.batch import BatchedPore
 
@@ -1368,6 +1375,7 @@ class TestZWindowedVoxelMasks:
     @pytest.mark.parametrize(
         "tric,layered", [(True, False), (False, True)]
     )
+    @pytest.mark.slow
     def test_bit_exact_vs_full_runs(self, tric, layered):
         import jax.numpy as jnp
 
@@ -1494,6 +1502,7 @@ class TestBatchedPoreMesh:
 
 
 class TestMcAnalytic:
+    @pytest.mark.slow
     def test_single_atom_mc_volume(self):
         """MC -vol on one atom in an open box: total probe-fit volume
         has the closed form V - 4/3 pi (R + probe)^3."""

@@ -108,6 +108,7 @@ class TestTrajectoryScale:
         oracle = (volumes[:, None, None, None] * counts).sum(axis=0)
         np.testing.assert_allclose(total, oracle, rtol=2e-7)
 
+    @pytest.mark.slow
     def test_fused_pipeline_matches_f64(self, batch, per_frame_f64):
         species_idx, counts = per_frame_f64
         fa = FusedAnalysis(
