@@ -58,6 +58,7 @@ def _make_columns_frame_fn(
     chan: float,
     mc_points=None,  # (pts_tiled f32[T,P,3], weights f32[T,P], n_real)
     emit_faces: bool = False,
+    surface_engine: str = "auto",
 ):
     """Per-frame traced function on the sorted-xy-column path:
     (pos, cell, volume) -> (asa, nasa, av, nav, missed).
@@ -72,6 +73,13 @@ def _make_columns_frame_fn(
     grid = col_plan["grid"]
     n_vox = grid[0] * grid[1] * grid[2]
     k = dirs.shape[0]
+    # resolve the surface engine once at trace time: the Pallas kernel
+    # only on real TPU backends ("auto"); interpret mode is reserved
+    # for tests/dryrun, which request "pallas" explicitly
+    use_pallas_surface = surface_engine == "pallas" or (
+        surface_engine == "auto"
+        and jax.devices()[0].platform == "tpu"
+    )
 
     def frame_fn(args):
         pos, cell, volume = args
@@ -112,19 +120,35 @@ def _make_columns_frame_fn(
             av = jnp.sum(acc_fit) * voxel_volume
             nav = jnp.sum(poc_fit) * voxel_volume
 
-        valid, i_pt, i_nu, gis, rs, miss_s = (
-            grid_kernel.surface_valid_columns(
-                frac, cell, radii, probe, dirs, grid,
-                nbx=surf_plan["nbx"], nby=surf_plan["nby"],
-                window=surf_plan["window"], chunk=surf_plan["chunk"],
-                col_cap=surf_plan["col_cap"],
-                # exact prefilter: points can only count on void voxels
-                # (code = accessible + 2*pocket is nonzero exactly on
-                # m_chan); chunks of all-buried atoms skip the blocker
-                # pass — in a dense glass that is most of them
-                cand_mask=m_chan,
+        # exact prefilter: points can only count on void voxels
+        # (code = accessible + 2*pocket is nonzero exactly on
+        # m_chan); chunks of all-buried atoms skip the blocker
+        # pass — in a dense glass that is most of them
+        if use_pallas_surface:
+            from amof_tpu.pore.surface_kernel import (
+                surface_valid_columns_pallas,
             )
-        )
+
+            valid, i_pt, i_nu, gis, rs, miss_s = (
+                surface_valid_columns_pallas(
+                    frac, cell, radii, probe, dirs, grid,
+                    nbx=surf_plan["nbx"], nby=surf_plan["nby"],
+                    window=surf_plan["window"],
+                    col_cap=surf_plan["col_cap"],
+                    cand_mask=m_chan,
+                )
+            )
+        else:
+            valid, i_pt, i_nu, gis, rs, miss_s = (
+                grid_kernel.surface_valid_columns(
+                    frac, cell, radii, probe, dirs, grid,
+                    nbx=surf_plan["nbx"], nby=surf_plan["nby"],
+                    window=surf_plan["window"],
+                    chunk=surf_plan["chunk"],
+                    col_cap=surf_plan["col_cap"],
+                    cand_mask=m_chan,
+                )
+            )
         acc_c, nacc_c = grid_kernel.classify_surface_points(
             valid, i_pt, i_nu, accessible, pocket
         )
@@ -265,6 +289,7 @@ class BatchedPore:
         conn_resolution: Optional[float] = None,
         window_scale: float = 1.0,
         winding: str = "face",
+        surface_engine: str = "auto",
     ):
         self.probe_radius = float(probe_radius)
         self.chan_radius = float(chan_radius)
@@ -321,6 +346,17 @@ class BatchedPore:
                 f"winding must be 'face' or 'exact', got {winding!r}"
             )
         self.winding = winding
+        # surface_engine "pallas": run the surface blocker pass as a
+        # Mosaic kernel (pore/surface_kernel.py; ~2.4x the XLA pass on
+        # v5e — 26 -> 61G pair-tests/s). "auto" enables it on TPU
+        # backends; "xla" keeps the lax.map pass (used by the widened
+        # retry too, and the only path for the non-column plans).
+        if surface_engine not in ("auto", "pallas", "xla"):
+            raise ValueError(
+                f"surface_engine must be 'auto', 'pallas' or 'xla', "
+                f"got {surface_engine!r}"
+            )
+        self.surface_engine = surface_engine
 
     def prepare(self, batch, mesh=None):
         """Resolve static shapes; returns (step_fn, args, meta)."""
@@ -414,6 +450,7 @@ class BatchedPore:
                 jnp.asarray(radii), jnp.asarray(dirs), col_plan,
                 surf_plan, probe, chan, mc_points=mc_points,
                 emit_faces=self.winding == "exact",
+                surface_engine=self.surface_engine,
             )
             return self._finalize(batch, mesh, frame_fn, grid, {
                 "col_plan": col_plan, "surf_plan": surf_plan, "k": k,
@@ -624,6 +661,7 @@ class BatchedPore:
                     conn_resolution=self.conn_resolution,
                     window_scale=self.window_scale * 2,
                     winding=self.winding,
+                    surface_engine=self.surface_engine,
                 )
                 sub = batch._replace(
                     positions=np.asarray(batch.positions)[idx],

@@ -1879,6 +1879,66 @@ def surface_plan(cells, radii_max, probe, n_atoms, chunk: int = 64):
             "col_cap": col_cap}
 
 
+def surface_candidate_mask(frac_atoms, inv_cell, radii, r_probe, dirs,
+                           grid, cand_mask):
+    """Exact per-atom candidate prefilter shared by the XLA and Pallas
+    surface engines: an atom is a candidate iff ANY of its K sphere
+    points lands on a voxel whose classification code can make the
+    point count (or, within a sub-voxel margin of a voxel boundary, on
+    the 3^3-dilated mask — absorbing last-ulp index disagreement with
+    the in-chunk point computation).
+
+    The sharp mask decides candidacy; the dilated mask is consulted
+    ONLY near voxel boundaries (measured index-disagreement bound
+    ~1.5e-4 voxel units; margin 5e-4). Dilating unconditionally
+    inflated a 0.85%-sparse glass mask ~20x and destroyed the skip
+    rate. Returns bool[N]; all-true when ``cand_mask`` is None.
+    """
+    n = frac_atoms.shape[0]
+    if cand_mask is None:
+        return jnp.ones((n,), bool)
+    gvec = jnp.array(grid)
+    fx = frac_atoms[:, 0] - jnp.floor(frac_atoms[:, 0])
+    fy = frac_atoms[:, 1] - jnp.floor(frac_atoms[:, 1])
+    fz = frac_atoms[:, 2] - jnp.floor(frac_atoms[:, 2])
+    k = dirs.shape[0]
+    md = cand_mask
+    for ax in range(3):  # separable periodic 3^3 dilation
+        md = md | jnp.roll(md, 1, ax) | jnp.roll(md, -1, ax)
+    code = cand_mask.astype(jnp.int8) | (md.astype(jnp.int8) << 1)
+    cflat = code.reshape(-1)
+    fo = matvec3(dirs, inv_cell)  # [K, 3] frac offset per unit dir
+    nshift = matvec3(dirs * jnp.float32(0.2), inv_cell)
+    fbase = jnp.stack([fx, fy, fz], axis=1)
+    fp_all = (
+        fbase[:, None, :]
+        + (radii[:, None, None] + r_probe) * fo[None]
+    )  # [N, K, 3]
+
+    def lin_bnd(f):
+        f = f - jnp.floor(f)
+        fg = f * gvec
+        idx = jnp.minimum(fg.astype(jnp.int32), gvec - 1)
+        lin = (
+            idx[..., 0] * grid[1] + idx[..., 1]
+        ) * grid[2] + idx[..., 2]
+        near = jnp.any(
+            jnp.abs(fg - jnp.round(fg)) < jnp.float32(5e-4), axis=-1
+        )
+        return lin, near
+
+    l1, nb1 = lin_bnd(fp_all)
+    l2, nb2 = lin_bnd(fp_all + nshift[None])
+    c1 = cflat[l1.reshape(-1)].reshape(n, k)
+    c2 = cflat[l2.reshape(-1)].reshape(n, k)
+    cand_pt = (
+        ((c1 & 1) | (c2 & 1)).astype(bool)
+        | (nb1 & (c1 >= 2))
+        | (nb2 & (c2 >= 2))
+    )
+    return cand_pt.any(axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1954,51 +2014,9 @@ def surface_valid_columns(
     gidx = jnp.arange(n, dtype=jnp.float32)
 
     k = dirs.shape[0]
-    if cand_mask is not None:
-        # sharp mask decides candidacy; the 3^3-dilated mask is
-        # consulted ONLY for points within a sub-voxel margin of a
-        # voxel boundary, where this (fbase-anchored) index computation
-        # and the in-chunk (column-unwrapped, cartesian-roundtrip) one
-        # can disagree by one voxel (measured bound ~1.5e-4 voxel
-        # units; margin 5e-4). Dilating unconditionally inflated a
-        # 0.85%-sparse glass mask ~20x and destroyed the skip rate.
-        md = cand_mask
-        for ax in range(3):  # separable periodic 3^3 dilation
-            md = md | jnp.roll(md, 1, ax) | jnp.roll(md, -1, ax)
-        code = cand_mask.astype(jnp.int8) | (md.astype(jnp.int8) << 1)
-        cflat = code.reshape(-1)
-        fo = matvec3(dirs, inv_cell)  # [K, 3] frac offset per unit dir
-        nshift = matvec3(dirs * jnp.float32(0.2), inv_cell)
-        fbase = jnp.stack([fx, fy, fz], axis=1)
-        fp_all = (
-            fbase[:, None, :]
-            + (radii[:, None, None] + r_probe) * fo[None]
-        )  # [N, K, 3]
-
-        def lin_bnd(f):
-            f = f - jnp.floor(f)
-            fg = f * gvec
-            idx = jnp.minimum(fg.astype(jnp.int32), gvec - 1)
-            lin = (
-                idx[..., 0] * grid[1] + idx[..., 1]
-            ) * grid[2] + idx[..., 2]
-            near = jnp.any(
-                jnp.abs(fg - jnp.round(fg)) < jnp.float32(5e-4), axis=-1
-            )
-            return lin, near
-
-        l1, nb1 = lin_bnd(fp_all)
-        l2, nb2 = lin_bnd(fp_all + nshift[None])
-        c1 = cflat[l1.reshape(-1)].reshape(n, k)
-        c2 = cflat[l2.reshape(-1)].reshape(n, k)
-        cand_pt = (
-            ((c1 & 1) | (c2 & 1)).astype(bool)
-            | (nb1 & (c1 >= 2))
-            | (nb2 & (c2 >= 2))
-        )
-        cand = cand_pt.any(axis=1)
-    else:
-        cand = jnp.ones((n,), bool)
+    cand = surface_candidate_mask(
+        frac_atoms, inv_cell, radii, r_probe, dirs, grid, cand_mask
+    )
 
     # centers: originals only, sorted by column id with candidate atoms
     # FIRST within each column (chunks past a column's candidate prefix

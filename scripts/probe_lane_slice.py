@@ -39,15 +39,18 @@ def main():
         fz = tab_ref[0, 2, pl.ds(st, wz)]
         th = tab_ref[0, 3, pl.ds(st, wz)]
         # realistic compute: [S, wz] hoist + [S, G, wz] quadratic + all
+        # integer iota then convert: Mosaic's tpu.iota is int-only
         sub = (
-            jax.lax.broadcasted_iota(jnp.float32, (S, 1), 0) / S
+            jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+            .astype(jnp.float32) / S
         )
         dfx = sub - fx[None, :]
         dfy = sub - fy[None, :]
         qq = dfx * dfx + dfy * dfy
         qdz = 2.0 * dfx * dfy
         vz = (
-            jax.lax.broadcasted_iota(jnp.float32, (1, G, 1), 1) / G
+            jax.lax.broadcasted_iota(jnp.int32, (1, G, 1), 1)
+            .astype(jnp.float32) / G
         )
         u = vz - fz[None, None, :]
         u = u - jnp.round(u)
