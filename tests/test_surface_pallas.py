@@ -186,3 +186,45 @@ class TestBatchedPoreEngineParity:
             for key in ("AV_A^3", "NAV_A^3", "ASA_A^2", "NASA_A^2"):
                 assert a[key] == b[key], key
             assert a["ASA_A^2"] > 0
+
+
+class TestPointFitPallas:
+    @pytest.mark.parametrize("seed", [1, 8])
+    def test_matches_masks_of_ride(self, seed):
+        """point_fit_pallas must reproduce the fit_pts flags of the
+        void_masks_columns MC ride exactly (Zeo++ -vol estimator,
+        amof/pore/pysimmzeopp.py:127-128)."""
+        from amof_tpu.pore.surface_kernel import point_fit_pallas
+
+        rng = np.random.default_rng(seed)
+        n, box = 300, 17.0
+        frac = rng.random((n, 3)).astype(np.float32)
+        frac[:, 2] *= 0.7  # void slab: mixed fit flags
+        cell = np.eye(3, dtype=np.float32) * box
+        radii = rng.uniform(1.1, 1.8, n).astype(np.float32)
+        nbx = nby = 4
+        window = 256
+        grid = (16, 16, 16)
+        plan = {"nbx": nbx, "nby": nby, "grid": grid}
+        pts = rng.random((3000, 3)).astype(np.float32)
+        pts_tiled, w = grid_kernel.assign_points_to_xytiles(pts, plan)
+
+        _, _, fit_ref, missed_ref = grid_kernel.void_masks_columns(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            grid, probe=1.2, chan=1.2, nbx=nbx, nby=nby,
+            window=window, pts_tiled=jnp.asarray(pts_tiled),
+        )
+        fit_p, missed_p = point_fit_pallas(
+            jnp.asarray(pts_tiled), jnp.asarray(cell),
+            jnp.asarray(frac), jnp.asarray(radii), 1.2,
+            nbx=nbx, nby=nby, window=window, interpret=True,
+        )
+        assert bool(np.asarray(missed_ref)) == bool(np.asarray(missed_p))
+        # compare on real (weighted) points only: the ride computes
+        # padding slots at tile centers too, but they carry weight 0
+        real = np.asarray(w) > 0
+        np.testing.assert_array_equal(
+            np.asarray(fit_ref)[real], np.asarray(fit_p)[real]
+        )
+        f = np.asarray(fit_ref)[real]
+        assert 0 < f.sum() < f.size  # non-degenerate
