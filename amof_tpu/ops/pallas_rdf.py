@@ -364,9 +364,14 @@ def _kernel_blocked(scalars, atoms_i_ref, atoms_j_ref, out_ref, acc_ref,
         # f32 compares measured ~6% faster than i32 on v5e (Mosaic
         # rejects i8/bf16 vector compares outright — "Target does not
         # support this comparison" — so 32-bit lanes are the floor);
-        # key parts are small integers, exactly representable
-        iota_h = jax.lax.broadcasted_iota(jnp.float32, (1, hi2, 1), 1)
-        iota_l = jax.lax.broadcasted_iota(jnp.float32, (1, loq, 1), 1)
+        # key parts are small integers, exactly representable. tpu.iota
+        # is int-only on this target: generate i32, convert once.
+        iota_h = jax.lax.broadcasted_iota(
+            jnp.int32, (1, hi2, 1), 1
+        ).astype(jnp.float32)
+        iota_l = jax.lax.broadcasted_iota(
+            jnp.int32, (1, loq, 1), 1
+        ).astype(jnp.float32)
         acc_ref[:] = jnp.zeros_like(acc_ref)
         gq = g // p
         K = gq * tj

@@ -95,25 +95,26 @@ def _make_columns_frame_fn(
         # overhead under plain XLA (scripts/profile_zwin.py). A Pallas
         # scalar-prefetch variant could realize the cut; until then
         # the full-run sweep is the fast path.
-        #
-        # On the Pallas engine the MC points do NOT ride the mask call:
-        # the dedicated point-fit kernel replaces the unfactorized
-        # masks_of ride (same windows, vreg accumulation).
-        ride_pts = None if use_pallas_surface else pts_tiled
-        m_probe, m_chan, fit_pts, miss_d = grid_kernel.void_masks_columns(
-            frac, cell, radii, grid, probe=probe, chan=chan,
-            nbx=col_plan["nbx"], nby=col_plan["nby"],
-            window=col_plan["window"], pts_tiled=ride_pts,
-        )
-        if use_pallas_surface and pts_tiled is not None:
-            from amof_tpu.pore.surface_kernel import point_fit_pallas
-
-            fit_pts, miss_p = point_fit_pallas(
-                pts_tiled, cell, frac, radii, probe,
-                nbx=col_plan["nbx"], nby=col_plan["nby"],
-                window=col_plan["window"],
+        if use_pallas_surface:
+            # merged Mosaic kernel: voxel masks + MC point fits share
+            # one candidate sweep (pore/surface_kernel.py)
+            from amof_tpu.pore.surface_kernel import (
+                void_masks_points_pallas,
             )
-            miss_d = miss_d | miss_p
+
+            m_probe, m_chan, fit_pts, miss_d = void_masks_points_pallas(
+                frac, cell, radii, grid, probe=probe, chan=chan,
+                nbx=col_plan["nbx"], nby=col_plan["nby"],
+                window=col_plan["window"], pts_tiled=pts_tiled,
+            )
+        else:
+            m_probe, m_chan, fit_pts, miss_d = (
+                grid_kernel.void_masks_columns(
+                    frac, cell, radii, grid, probe=probe, chan=chan,
+                    nbx=col_plan["nbx"], nby=col_plan["nby"],
+                    window=col_plan["window"], pts_tiled=pts_tiled,
+                )
+            )
         cls = grid_kernel.void_classification_mask(
             m_chan, return_faces=emit_faces
         )

@@ -479,3 +479,252 @@ def point_fit_pallas(
         pts_op, tab,
     )
     return fit[:, :p_raw, 0], missed
+
+
+def void_masks_points_pallas(
+    frac_atoms,  # f32[N, 3], no padding rows
+    cell,
+    radii,  # f32[N]
+    grid,
+    probe: float,
+    chan: float,
+    nbx: int,
+    nby: int,
+    window: int,
+    pts_tiled=None,  # f32[T, P, 3] fractional MC points, tile-assigned
+    interpret: bool | None = None,
+):
+    """Pallas twin of ``grid_kernel.void_masks_columns`` (voxel masks +
+    optional MC point fits) with the same contract:
+    (mask_probe, mask_chan, fit_pts or None, missed).
+
+    Same factorized per-subcolumn quadratic as the XLA pass
+    (d2(u) = QQ + a*u^2 + u*QZ2 over the z-minimum-imaged offset u) and
+    the same aligned-start full-run windows as the surface kernel; the
+    MC points reuse each segment's candidate loads instead of paying a
+    second sweep. Alien rows beyond the 3x3 column neighborhood are >
+    reach from every tile voxel/point by construction, so the extended
+    windows cannot flip any compare (masks are exactly
+    ``distance_grid(...) >= probe/chan`` up to f32 rounding, reference
+    semantics amof/pore/pysimmzeopp.py:119-128).
+    """
+    from amof_tpu.pore import grid_kernel
+
+    if interpret is None:
+        interpret = _interpret()
+    gx, gy, gz = grid
+    assert gx % nbx == 0 and gy % nby == 0
+    tvx, tvy = gx // nbx, gy // nby
+    n_tiles = nbx * nby
+    n_sub = tvx * tvy
+    s8 = -(-n_sub // 8) * 8
+    gz8 = -(-gz // 8) * 8
+    stride = nby + 2
+    w_pad = (-(-window // SEG) + 1) * SEG
+    n_seg = w_pad // SEG
+    two_masks = probe != chan
+    thr_hi = np.float32(float(max(probe, chan)))
+    thr_lo = np.float32(float(min(probe, chan)))
+    # subcolumn groups bound per-segment d2 working sets (~[GRP, gz, 128])
+    grp = next(g for g in (8, 4, 2, 1) if s8 % (g * 8) == 0 or g == 1)
+    grp *= 8
+    n_grp = -(-s8 // grp)
+    s_pad = n_grp * grp
+
+    keys, payload = grid_kernel._sort_atoms_xycols(
+        frac_atoms, [radii], nbx, nby
+    )
+    m_rows = keys.shape[0]
+    m_pad = -(-(m_rows + w_pad) // SEG) * SEG
+    dead = jnp.tile(
+        jnp.array([[1e6], [1e6], [1e6], [-10.0]], jnp.float32),
+        (1, m_pad - m_rows),
+    )
+    tab = jnp.concatenate([payload, dead], axis=1)
+    cstarts = jnp.searchsorted(
+        keys, jnp.arange(nbx * stride + 1, dtype=jnp.float32)
+    ).astype(jnp.int32)
+
+    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    t_i, t_j = t_ids // nby, t_ids % nby
+    c0 = (
+        ((t_i[:, None] + jnp.array([-1, 0, 1])[None, :]) % nbx) * stride
+        + t_j[:, None]
+    )
+    st = cstarts[c0.reshape(-1)].reshape(n_tiles, 3)
+    en = cstarts[(c0 + 3).reshape(-1)].reshape(n_tiles, 3)
+    missed = jnp.any((en - st) > window)
+    st3 = jnp.minimum((st // SEG) * SEG, m_pad - w_pad)
+    ucx = (t_i.astype(jnp.float32) + 0.5) / nbx
+    ucy = (t_j.astype(jnp.float32) + 0.5) / nby
+    cell_z = cell[2]
+    a_zz = jnp.sum(cell_z * cell_z).reshape(1)
+
+    with_pts = pts_tiled is not None
+    if with_pts:
+        p_raw = pts_tiled.shape[1]
+        p8 = -(-max(p_raw, 1) // 8) * 8
+        pts = pts_tiled
+        if p8 != p_raw:
+            pts = jnp.pad(
+                pts, ((0, 0), (0, p8 - p_raw), (0, 0)),
+                constant_values=0.5,
+            )
+        v_cart = matvec3(pts, cell)
+        pts_op = jnp.stack(
+            [v_cart[..., 0], v_cart[..., 1], v_cart[..., 2],
+             pts[..., 2]],
+            axis=1,
+        )[..., None]  # [T, 4, P8, 1]
+        thr_fit = np.float32(float(probe))
+    else:
+        p8 = 8
+        pts_op = jnp.zeros((n_tiles, 4, p8, 1), jnp.float32)
+        thr_fit = np.float32(0.0)
+
+    f_tvx = np.float32(tvx)
+    f_gx, f_gy, f_gz = (np.float32(v) for v in (gx, gy, gz))
+    i_tvy = np.int32(tvy)
+
+    def kern(st3_ref, ucx_ref, ucy_ref, cell_ref, azz_ref,
+             pts_ref, tab_ref, hi_ref, lo_ref, fit_ref):
+        i = pl.program_id(0)
+        ti = (i // nby).astype(jnp.float32)
+        tj = (i % nby).astype(jnp.float32)
+        cx = ucx_ref[i]
+        cy = ucy_ref[i]
+        c = [cell_ref[j] for j in range(9)]
+        azz = azz_ref[0]
+
+        sub = jax.lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0)
+        lx = (sub // i_tvy).astype(jnp.float32)
+        ly = (sub % i_tvy).astype(jnp.float32)
+        sub_fx = ((ti * f_tvx) + lx + 0.5) / f_gx
+        sub_fy = ((tj * np.float32(tvy)) + ly + 0.5) / f_gy
+        vz = (
+            jax.lax.broadcasted_iota(jnp.int32, (gz8, 1), 0)
+            .astype(jnp.float32) + 0.5
+        ) / f_gz
+
+        acc_hi = [jnp.ones((grp, gz8, 1), jnp.bool_)
+                  for _ in range(n_grp)]
+        acc_lo = [jnp.ones((grp, gz8, 1), jnp.bool_)
+                  for _ in range(n_grp)] if two_masks else None
+        if with_pts:
+            px = pts_ref[0, 0, :, :]
+            py = pts_ref[0, 1, :, :]
+            pz = pts_ref[0, 2, :, :]
+            vfz = pts_ref[0, 3, :, :]
+            fit = jnp.ones((p8, 1), jnp.bool_)
+
+        for s in range(3):
+            st0 = pl.multiple_of(st3_ref[i, s], SEG)
+            for q in range(n_seg):
+                sl = pl.ds(st0 + q * SEG, SEG)
+                fxr = tab_ref[pl.ds(0, 1), sl]
+                fyr = tab_ref[pl.ds(1, 1), sl]
+                fzr = tab_ref[pl.ds(2, 1), sl]
+                wrr = tab_ref[pl.ds(3, 1), sl]
+                fxc = fxr - jnp.round(fxr - cx)
+                fyc = fyr - jnp.round(fyr - cy)
+                th = (wrr + thr_hi) ** 2
+                tl = (wrr + thr_lo) ** 2 if two_masks else None
+
+                # voxel part: factorized quadratic, [grp, gz8, SEG]
+                dz = vz[:, :] - fzr  # [gz8, SEG]
+                u = dz - jnp.round(dz)
+                uu = azz * (u * u)
+                for g in range(n_grp):
+                    sx = sub_fx[g * grp:(g + 1) * grp]  # [grp, 1]
+                    sy = sub_fy[g * grp:(g + 1) * grp]
+                    dfx = sx - fxc  # [grp, SEG]
+                    dfy = sy - fyc
+                    qx = dfx * c[0] + dfy * c[3]
+                    qy = dfx * c[1] + dfy * c[4]
+                    qz = dfx * c[2] + dfy * c[5]
+                    qq = qx * qx + qy * qy + qz * qz
+                    qdz = (qx * c[6] + qy * c[7] + qz * c[8]) * 2.0
+                    d2 = (
+                        qq[:, None, :] + uu[None, :, :]
+                        + u[None, :, :] * qdz[:, None, :]
+                    )  # [grp, gz8, SEG]
+                    acc_hi[g] = acc_hi[g] & jnp.all(
+                        d2 >= th[None], axis=2, keepdims=True
+                    )
+                    if two_masks:
+                        acc_lo[g] = acc_lo[g] & jnp.all(
+                            d2 >= tl[None], axis=2, keepdims=True
+                        )
+
+                if with_pts:
+                    wcx = fxc * c[0] + fyc * c[3] + fzr * c[6]
+                    wcy = fxc * c[1] + fyc * c[4] + fzr * c[7]
+                    wcz = fxc * c[2] + fyc * c[5] + fzr * c[8]
+                    zs = jnp.round(vfz - fzr)
+                    dx = px - wcx - zs * c[6]
+                    dy = py - wcy - zs * c[7]
+                    dzp = pz - wcz - zs * c[8]
+                    d2p = dx * dx + dy * dy + dzp * dzp
+                    fit = fit & jnp.all(
+                        d2p >= (wrr + thr_fit) ** 2, axis=1,
+                        keepdims=True,
+                    )
+
+        for g in range(n_grp):
+            lo_w = min((g + 1) * grp, s8) - g * grp
+            if lo_w <= 0:
+                continue
+            hi_ref[0, g * grp:g * grp + lo_w] = (
+                acc_hi[g][:lo_w, :gz, 0]
+            )
+            if two_masks:
+                lo_ref[0, g * grp:g * grp + lo_w] = (
+                    acc_lo[g][:lo_w, :gz, 0]
+                )
+            else:
+                lo_ref[0, g * grp:g * grp + lo_w] = (
+                    acc_hi[g][:lo_w, :gz, 0]
+                )
+        if with_pts:
+            fit_ref[0] = fit
+        else:
+            fit_ref[0] = jnp.zeros((p8, 1), jnp.bool_)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 4, p8, 1), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((4, m_pad), lambda i, *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, s8, gz), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, s8, gz), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, p8, 1), lambda i, *_: (i, 0, 0)),
+        ],
+    )
+    m_hi, m_lo, fit = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, s8, gz), jnp.bool_),
+            jax.ShapeDtypeStruct((n_tiles, s8, gz), jnp.bool_),
+            jax.ShapeDtypeStruct((n_tiles, p8, 1), jnp.bool_),
+        ],
+        interpret=interpret,
+    )(
+        st3.astype(jnp.int32), ucx, ucy,
+        cell.astype(jnp.float32).reshape(-1), a_zz,
+        pts_op, tab,
+    )
+
+    def to_grid(m):
+        g = m[:, :n_sub].reshape(nbx, nby, tvx, tvy, gz)
+        return g.transpose(0, 2, 1, 3, 4).reshape(gx, gy, gz)
+
+    if probe >= chan:
+        m_probe_t, m_chan_t = m_hi, m_lo
+    else:
+        m_probe_t, m_chan_t = m_lo, m_hi
+    fit_out = fit[:, :p_raw, 0] if with_pts else None
+    return to_grid(m_probe_t), to_grid(m_chan_t), fit_out, missed

@@ -228,3 +228,76 @@ class TestPointFitPallas:
         )
         f = np.asarray(fit_ref)[real]
         assert 0 < f.sum() < f.size  # non-degenerate
+
+
+class TestVoidMasksPallas:
+    @pytest.mark.parametrize("seed,two", [(0, False), (5, True)])
+    def test_masks_and_fit_match_xla(self, seed, two):
+        """void_masks_points_pallas must reproduce void_masks_columns
+        exactly: masks elementwise, point fits on weighted points,
+        missed flags."""
+        from amof_tpu.pore.surface_kernel import void_masks_points_pallas
+
+        rng = np.random.default_rng(seed)
+        n, box = 300, 17.0
+        frac = rng.random((n, 3)).astype(np.float32)
+        frac[:, 2] *= 0.7
+        cell = np.eye(3, dtype=np.float32) * box
+        radii = rng.uniform(1.1, 1.8, n).astype(np.float32)
+        nbx = nby = 4
+        window = 256
+        grid = (16, 16, 16)
+        probe, chan = (1.0, 1.2) if two else (1.2, 1.2)
+        pts = rng.random((3000, 3)).astype(np.float32)
+        pts_tiled, w = grid_kernel.assign_points_to_xytiles(
+            pts, {"nbx": nbx, "nby": nby}
+        )
+
+        mp_x, mc_x, fit_x, miss_x = grid_kernel.void_masks_columns(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            grid, probe=probe, chan=chan, nbx=nbx, nby=nby,
+            window=window, pts_tiled=jnp.asarray(pts_tiled),
+        )
+        mp_p, mc_p, fit_p, miss_p = void_masks_points_pallas(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            grid, probe=probe, chan=chan, nbx=nbx, nby=nby,
+            window=window, pts_tiled=jnp.asarray(pts_tiled),
+            interpret=True,
+        )
+        assert bool(np.asarray(miss_x)) == bool(np.asarray(miss_p))
+        np.testing.assert_array_equal(np.asarray(mp_x), np.asarray(mp_p))
+        np.testing.assert_array_equal(np.asarray(mc_x), np.asarray(mc_p))
+        real = np.asarray(w) > 0
+        np.testing.assert_array_equal(
+            np.asarray(fit_x)[real], np.asarray(fit_p)[real]
+        )
+        m = np.asarray(mc_x)
+        assert 0 < m.sum() < m.size
+
+    def test_masks_triclinic_no_points(self):
+        from amof_tpu.pore.surface_kernel import void_masks_points_pallas
+
+        rng = np.random.default_rng(3)
+        n = 260
+        cell = np.array(
+            [[16.0, 0, 0], [1.4, 15.4, 0], [-0.9, 1.1, 15.8]],
+            np.float32,
+        )
+        frac = rng.random((n, 3)).astype(np.float32)
+        frac[:, 2] *= 0.7
+        radii = rng.uniform(1.1, 1.8, n).astype(np.float32)
+        nbx = nby = 4
+        grid = (16, 16, 16)
+        mp_x, mc_x, _, miss_x = grid_kernel.void_masks_columns(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            grid, probe=1.2, chan=1.2, nbx=nbx, nby=nby, window=256,
+        )
+        mp_p, mc_p, fit_p, miss_p = void_masks_points_pallas(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            grid, probe=1.2, chan=1.2, nbx=nbx, nby=nby, window=256,
+            interpret=True,
+        )
+        assert fit_p is None
+        assert bool(np.asarray(miss_x)) == bool(np.asarray(miss_p))
+        np.testing.assert_array_equal(np.asarray(mp_x), np.asarray(mp_p))
+        np.testing.assert_array_equal(np.asarray(mc_x), np.asarray(mc_p))
