@@ -301,3 +301,34 @@ class TestVoidMasksPallas:
         assert bool(np.asarray(miss_x)) == bool(np.asarray(miss_p))
         np.testing.assert_array_equal(np.asarray(mp_x), np.asarray(mp_p))
         np.testing.assert_array_equal(np.asarray(mc_x), np.asarray(mc_p))
+
+    def test_engines_agree_triclinic_npt(self):
+        """Per-frame varying triclinic cells through both engines."""
+        from amof_tpu.core.frames import FrameBatch
+        from amof_tpu.parallel.mesh import analysis_mesh
+        from amof_tpu.pore.batch import BatchedPore
+
+        rng = np.random.default_rng(31)
+        nf, n = 2, 600
+        base = np.array(
+            [[21.0, 0, 0], [1.8, 20.3, 0], [-1.2, 1.5, 20.7]],
+            np.float32,
+        )
+        cells = np.stack([base * (1.0 + 0.02 * f) for f in range(nf)])
+        frac = rng.random((nf, n, 3)).astype(np.float32)
+        frac[:, :, 2] *= 0.72
+        pos = np.einsum("fni,fij->fnj", frac, cells).astype(np.float32)
+        batch = FrameBatch(
+            pos, cells, np.full(n, 6, np.int32),
+            np.arange(nf, dtype=np.int32),
+        )
+        recs = {}
+        for eng in ("xla", "pallas"):
+            bp = BatchedPore(resolution=0.4, vol_method="mc",
+                             num_samples=20000, surface_engine=eng)
+            r, _ = bp.run(batch, mesh=analysis_mesh(1))
+            recs[eng] = r
+        for a, b in zip(recs["xla"], recs["pallas"]):
+            for key in ("AV_A^3", "NAV_A^3", "ASA_A^2", "NASA_A^2"):
+                assert a[key] == b[key], key
+        assert sum(a["ASA_A^2"] + a["NASA_A^2"] for a in recs["xla"]) > 0
