@@ -586,7 +586,7 @@ def void_masks_points_pallas(
     f_gx, f_gy, f_gz = (np.float32(v) for v in (gx, gy, gz))
     i_tvy = np.int32(tvy)
 
-    def kern(st3_ref, ucx_ref, ucy_ref, cell_ref, azz_ref,
+    def kern(seg_ref, ucx_ref, ucy_ref, cell_ref, azz_ref,
              pts_ref, tab_ref, hi_ref, lo_ref, fit_ref):
         i = pl.program_id(0)
         ti = (i // nby).astype(jnp.float32)
@@ -606,69 +606,82 @@ def void_masks_points_pallas(
             .astype(jnp.float32) + 0.5
         ) / f_gz
 
-        acc_hi = [jnp.ones((grp, gz8, 1), jnp.bool_)
-                  for _ in range(n_grp)]
-        acc_lo = [jnp.ones((grp, gz8, 1), jnp.bool_)
-                  for _ in range(n_grp)] if two_masks else None
         if with_pts:
             px = pts_ref[0, 0, :, :]
             py = pts_ref[0, 1, :, :]
             pz = pts_ref[0, 2, :, :]
             vfz = pts_ref[0, 3, :, :]
-            fit = jnp.ones((p8, 1), jnp.bool_)
 
-        for s in range(3):
-            st0 = pl.multiple_of(st3_ref[i, s], SEG)
-            for q in range(n_seg):
-                sl = pl.ds(st0 + q * SEG, SEG)
-                fxr = tab_ref[pl.ds(0, 1), sl]
-                fyr = tab_ref[pl.ds(1, 1), sl]
-                fzr = tab_ref[pl.ds(2, 1), sl]
-                wrr = tab_ref[pl.ds(3, 1), sl]
-                fxc = fxr - jnp.round(fxr - cx)
-                fyc = fyr - jnp.round(fyr - cy)
-                th = (wrr + thr_hi) ** 2
-                tl = (wrr + thr_lo) ** 2 if two_masks else None
+        # fori over segments (not a python unroll): Mosaic keeps every
+        # unrolled iteration's [grp, gz8, SEG] temps live on the scoped
+        # vmem stack simultaneously — 9 segments x 5 groups OOMed the
+        # 16 MB limit at glass bench shapes. A loop body compiles once
+        # and reuses its buffers.
+        def seg_body(k, carry):
+            acc_hi, acc_lo, fit = carry
+            st = pl.multiple_of(seg_ref[i, k], SEG)
+            sl = pl.ds(st, SEG)
+            fxr = tab_ref[pl.ds(0, 1), sl]
+            fyr = tab_ref[pl.ds(1, 1), sl]
+            fzr = tab_ref[pl.ds(2, 1), sl]
+            wrr = tab_ref[pl.ds(3, 1), sl]
+            fxc = fxr - jnp.round(fxr - cx)
+            fyc = fyr - jnp.round(fyr - cy)
+            th = (wrr + thr_hi) ** 2
+            tl = (wrr + thr_lo) ** 2 if two_masks else None
 
-                # voxel part: factorized quadratic, [grp, gz8, SEG]
-                dz = vz[:, :] - fzr  # [gz8, SEG]
-                u = dz - jnp.round(dz)
-                uu = azz * (u * u)
-                for g in range(n_grp):
-                    sx = sub_fx[g * grp:(g + 1) * grp]  # [grp, 1]
-                    sy = sub_fy[g * grp:(g + 1) * grp]
-                    dfx = sx - fxc  # [grp, SEG]
-                    dfy = sy - fyc
-                    qx = dfx * c[0] + dfy * c[3]
-                    qy = dfx * c[1] + dfy * c[4]
-                    qz = dfx * c[2] + dfy * c[5]
-                    qq = qx * qx + qy * qy + qz * qz
-                    qdz = (qx * c[6] + qy * c[7] + qz * c[8]) * 2.0
-                    d2 = (
-                        qq[:, None, :] + uu[None, :, :]
-                        + u[None, :, :] * qdz[:, None, :]
-                    )  # [grp, gz8, SEG]
-                    acc_hi[g] = acc_hi[g] & jnp.all(
-                        d2 >= th[None], axis=2, keepdims=True
-                    )
-                    if two_masks:
-                        acc_lo[g] = acc_lo[g] & jnp.all(
-                            d2 >= tl[None], axis=2, keepdims=True
-                        )
+            # voxel part: factorized quadratic, [grp, gz8, SEG]
+            dz = vz[:, :] - fzr  # [gz8, SEG]
+            u = dz - jnp.round(dz)
+            uu = azz * (u * u)
+            nh, nl = [], []
+            for g in range(n_grp):
+                sx = sub_fx[g * grp:(g + 1) * grp]  # [grp, 1]
+                sy = sub_fy[g * grp:(g + 1) * grp]
+                dfx = sx - fxc  # [grp, SEG]
+                dfy = sy - fyc
+                qx = dfx * c[0] + dfy * c[3]
+                qy = dfx * c[1] + dfy * c[4]
+                qz = dfx * c[2] + dfy * c[5]
+                qq = qx * qx + qy * qy + qz * qz
+                qdz = (qx * c[6] + qy * c[7] + qz * c[8]) * 2.0
+                d2 = (
+                    qq[:, None, :] + uu[None, :, :]
+                    + u[None, :, :] * qdz[:, None, :]
+                )  # [grp, gz8, SEG]
+                nh.append(acc_hi[g] & jnp.all(
+                    d2 >= th[None], axis=2, keepdims=True
+                ))
+                if two_masks:
+                    nl.append(acc_lo[g] & jnp.all(
+                        d2 >= tl[None], axis=2, keepdims=True
+                    ))
 
-                if with_pts:
-                    wcx = fxc * c[0] + fyc * c[3] + fzr * c[6]
-                    wcy = fxc * c[1] + fyc * c[4] + fzr * c[7]
-                    wcz = fxc * c[2] + fyc * c[5] + fzr * c[8]
-                    zs = jnp.round(vfz - fzr)
-                    dx = px - wcx - zs * c[6]
-                    dy = py - wcy - zs * c[7]
-                    dzp = pz - wcz - zs * c[8]
-                    d2p = dx * dx + dy * dy + dzp * dzp
-                    fit = fit & jnp.all(
-                        d2p >= (wrr + thr_fit) ** 2, axis=1,
-                        keepdims=True,
-                    )
+            if with_pts:
+                wcx = fxc * c[0] + fyc * c[3] + fzr * c[6]
+                wcy = fxc * c[1] + fyc * c[4] + fzr * c[7]
+                wcz = fxc * c[2] + fyc * c[5] + fzr * c[8]
+                zs = jnp.round(vfz - fzr)
+                dx = px - wcx - zs * c[6]
+                dy = py - wcy - zs * c[7]
+                dzp = pz - wcz - zs * c[8]
+                d2p = dx * dx + dy * dy + dzp * dzp
+                fit = fit & jnp.all(
+                    d2p >= (wrr + thr_fit) ** 2, axis=1,
+                    keepdims=True,
+                )
+            return (nh, nl if two_masks else acc_lo, fit)
+
+        acc_hi, acc_lo, fit = jax.lax.fori_loop(
+            0, 3 * n_seg, seg_body,
+            (
+                [jnp.ones((grp, gz8, 1), jnp.bool_)
+                 for _ in range(n_grp)],
+                [jnp.ones((grp, gz8, 1), jnp.bool_)
+                 for _ in range(n_grp)] if two_masks else 0,
+                jnp.ones((p8, 1), jnp.bool_),
+            ),
+        )
 
         for g in range(n_grp):
             lo_w = min((g + 1) * grp, s8) - g * grp
@@ -703,6 +716,10 @@ def void_masks_points_pallas(
             pl.BlockSpec((1, p8, 1), lambda i, *_: (i, 0, 0)),
         ],
     )
+    seg_starts = (
+        st3[:, :, None]
+        + jnp.arange(n_seg, dtype=jnp.int32)[None, None, :] * SEG
+    ).reshape(n_tiles, 3 * n_seg)
     m_hi, m_lo, fit = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -713,7 +730,7 @@ def void_masks_points_pallas(
         ],
         interpret=interpret,
     )(
-        st3.astype(jnp.int32), ucx, ucy,
+        seg_starts.astype(jnp.int32), ucx, ucy,
         cell.astype(jnp.float32).reshape(-1), a_zz,
         pts_op, tab,
     )

@@ -184,7 +184,10 @@ class TestBatchedPoreEngineParity:
             recs[eng] = r
         for a, b in zip(recs["xla"], recs["pallas"]):
             for key in ("AV_A^3", "NAV_A^3", "ASA_A^2", "NASA_A^2"):
-                assert a[key] == b[key], key
+                # per-point/voxel parity is exact; the record sums run
+                # in different slot orders (128- vs 64-atom chunks), so
+                # allow f32 reassociation ulps
+                assert a[key] == pytest.approx(b[key], rel=1e-5), key
             assert a["ASA_A^2"] > 0
 
 
@@ -330,5 +333,5 @@ class TestVoidMasksPallas:
             recs[eng] = r
         for a, b in zip(recs["xla"], recs["pallas"]):
             for key in ("AV_A^3", "NAV_A^3", "ASA_A^2", "NASA_A^2"):
-                assert a[key] == b[key], key
+                assert a[key] == pytest.approx(b[key], rel=1e-5), key
         assert sum(a["ASA_A^2"] + a["NASA_A^2"] for a in recs["xla"]) > 0
