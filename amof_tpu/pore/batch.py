@@ -361,11 +361,13 @@ class BatchedPore:
                 f"winding must be 'face' or 'exact', got {winding!r}"
             )
         self.winding = winding
-        # surface_engine "pallas": run the surface blocker pass as a
-        # Mosaic kernel (pore/surface_kernel.py; ~2.4x the XLA pass on
-        # v5e — 26 -> 61G pair-tests/s). "auto" enables it on TPU
-        # backends; "xla" keeps the lax.map pass (used by the widened
-        # retry too, and the only path for the non-column plans).
+        # surface_engine "pallas": run the surface blocker pass, the
+        # connectivity-mask voxel sweep and the MC point fits as Mosaic
+        # kernels (pore/surface_kernel.py; blocker probe measures 103G
+        # pair-tests/s amortized vs ~26G for the XLA map pass; porous
+        # bench pore 25.4 -> 20.0 ms/frame integrated). "auto" enables
+        # them on TPU backends; "xla" keeps the lax.map passes (the
+        # only path for the non-column plans).
         if surface_engine not in ("auto", "pallas", "xla"):
             raise ValueError(
                 f"surface_engine must be 'auto', 'pallas' or 'xla', "

@@ -587,7 +587,8 @@ def void_masks_points_pallas(
     i_tvy = np.int32(tvy)
 
     def kern(seg_ref, ucx_ref, ucy_ref, cell_ref, azz_ref,
-             pts_ref, tab_ref, hi_ref, lo_ref, fit_ref):
+             pts_ref, tab_ref, hi_ref, lo_ref, fit_ref,
+             hi_s, lo_s, fit_s):
         i = pl.program_id(0)
         ti = (i // nby).astype(jnp.float32)
         tj = (i % nby).astype(jnp.float32)
@@ -616,9 +617,15 @@ def void_masks_points_pallas(
         # unrolled iteration's [grp, gz8, SEG] temps live on the scoped
         # vmem stack simultaneously — 9 segments x 5 groups OOMed the
         # 16 MB limit at glass bench shapes. A loop body compiles once
-        # and reuses its buffers.
+        # and reuses its buffers. Accumulators live in VMEM SCRATCH
+        # (not loop carries: this target's Mosaic cannot legalize
+        # scf.for with carried vectors — "failed to legalize operation
+        # 'scf.for'" on hardware, though interpret mode accepts it).
+        hi_s[:] = jnp.ones((s_pad, gz8), jnp.bool_)
+        lo_s[:] = jnp.ones((s_pad, gz8), jnp.bool_)
+        fit_s[:] = jnp.ones((p8, 1), jnp.bool_)
+
         def seg_body(k, carry):
-            acc_hi, acc_lo, fit = carry
             st = pl.multiple_of(seg_ref[i, k], SEG)
             sl = pl.ds(st, SEG)
             fxr = tab_ref[pl.ds(0, 1), sl]
@@ -634,7 +641,6 @@ def void_masks_points_pallas(
             dz = vz[:, :] - fzr  # [gz8, SEG]
             u = dz - jnp.round(dz)
             uu = azz * (u * u)
-            nh, nl = [], []
             for g in range(n_grp):
                 sx = sub_fx[g * grp:(g + 1) * grp]  # [grp, 1]
                 sy = sub_fy[g * grp:(g + 1) * grp]
@@ -649,13 +655,14 @@ def void_masks_points_pallas(
                     qq[:, None, :] + uu[None, :, :]
                     + u[None, :, :] * qdz[:, None, :]
                 )  # [grp, gz8, SEG]
-                nh.append(acc_hi[g] & jnp.all(
-                    d2 >= th[None], axis=2, keepdims=True
-                ))
+                gs = slice(g * grp, (g + 1) * grp)
+                hi_s[gs, :] = hi_s[gs, :] & jnp.all(
+                    d2 >= th[None], axis=2
+                )
                 if two_masks:
-                    nl.append(acc_lo[g] & jnp.all(
-                        d2 >= tl[None], axis=2, keepdims=True
-                    ))
+                    lo_s[gs, :] = lo_s[gs, :] & jnp.all(
+                        d2 >= tl[None], axis=2
+                    )
 
             if with_pts:
                 wcx = fxc * c[0] + fyc * c[3] + fzr * c[6]
@@ -666,40 +673,21 @@ def void_masks_points_pallas(
                 dy = py - wcy - zs * c[7]
                 dzp = pz - wcz - zs * c[8]
                 d2p = dx * dx + dy * dy + dzp * dzp
-                fit = fit & jnp.all(
+                fit_s[:, :] = fit_s[:, :] & jnp.all(
                     d2p >= (wrr + thr_fit) ** 2, axis=1,
                     keepdims=True,
                 )
-            return (nh, nl if two_masks else acc_lo, fit)
+            return carry
 
-        acc_hi, acc_lo, fit = jax.lax.fori_loop(
-            0, 3 * n_seg, seg_body,
-            (
-                [jnp.ones((grp, gz8, 1), jnp.bool_)
-                 for _ in range(n_grp)],
-                [jnp.ones((grp, gz8, 1), jnp.bool_)
-                 for _ in range(n_grp)] if two_masks else 0,
-                jnp.ones((p8, 1), jnp.bool_),
-            ),
-        )
+        jax.lax.fori_loop(0, 3 * n_seg, seg_body, 0)
 
-        for g in range(n_grp):
-            lo_w = min((g + 1) * grp, s8) - g * grp
-            if lo_w <= 0:
-                continue
-            hi_ref[0, g * grp:g * grp + lo_w] = (
-                acc_hi[g][:lo_w, :gz, 0]
-            )
-            if two_masks:
-                lo_ref[0, g * grp:g * grp + lo_w] = (
-                    acc_lo[g][:lo_w, :gz, 0]
-                )
-            else:
-                lo_ref[0, g * grp:g * grp + lo_w] = (
-                    acc_hi[g][:lo_w, :gz, 0]
-                )
+        hi_ref[0] = hi_s[:s8, :gz]
+        if two_masks:
+            lo_ref[0] = lo_s[:s8, :gz]
+        else:
+            lo_ref[0] = hi_s[:s8, :gz]
         if with_pts:
-            fit_ref[0] = fit
+            fit_ref[0] = fit_s[:, :]
         else:
             fit_ref[0] = jnp.zeros((p8, 1), jnp.bool_)
 
@@ -714,6 +702,11 @@ def void_masks_points_pallas(
             pl.BlockSpec((1, s8, gz), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, s8, gz), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, p8, 1), lambda i, *_: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s_pad, gz8), jnp.bool_),
+            pltpu.VMEM((s_pad, gz8), jnp.bool_),
+            pltpu.VMEM((p8, 1), jnp.bool_),
         ],
     )
     seg_starts = (
