@@ -26,8 +26,17 @@ def main():
     sys.path.insert(0, "/root/repo")
     from bench import make_trajectory
 
-    k = 32
-    batch, box = make_trajectory(k, 10240)
+    porous = "--porous" in sys.argv
+    if porous:
+        from bench import make_porous_supercell
+
+        k = 16
+        batch, n_atoms = make_porous_supercell(k)
+        box = float(batch.cell[0, 0, 0])
+        print(f"porous supercell atoms={n_atoms}", file=sys.stderr)
+    else:
+        k = 32
+        batch, box = make_trajectory(k, 10240)
     print(f"devices={jax.devices()} box={box:.2f}", file=sys.stderr)
 
     species = np.asarray(batch.species)
@@ -37,7 +46,7 @@ def main():
         z_to_idx[z] = i
     sp_idx = z_to_idx[species]
     n_species = len(uniq)
-    dr, dtheta = 0.02, 0.05
+    dr, dtheta = (0.01 if '--dr001' in sys.argv else 0.02), 0.05
     rmax = box / 2
     bins = int(rmax // dr)
     bad_bins = int(180 // dtheta) + 1
