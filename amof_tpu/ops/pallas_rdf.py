@@ -367,32 +367,40 @@ def _kernel_blocked(scalars, atoms_i_ref, atoms_j_ref, out_ref, acc_ref,
         # key parts are small integers, exactly representable. tpu.iota
         # is int-only on this target: generate i32, convert once.
         iota_h = jax.lax.broadcasted_iota(
-            jnp.int32, (1, hi2, 1), 1
+            jnp.int32, (hi2, 1), 0
         ).astype(jnp.float32)
         iota_l = jax.lax.broadcasted_iota(
-            jnp.int32, (1, loq, 1), 1
+            jnp.int32, (loq, 1), 0
         ).astype(jnp.float32)
         acc_ref[:] = jnp.zeros_like(acc_ref)
         gq = g // p
-        K = gq * tj
 
         # every row in the tile is the same species pair, so row
         # histograms simply add: flatten g rows into one long
-        # contraction — one fat dot instead of g thin ones. The p
-        # streams compare as a [p, hi2|loq, K] broadcast and reshape
-        # (layout no-op) into the banded operands — no concatenate of
-        # the materialized one-hots (a full extra VMEM pass at p=1..4)
+        # contraction — one fat dot instead of g thin ones. The
+        # per-quadrant compare + concatenate build is deliberate: the
+        # "band-offset" [p, hi2, K] broadcast-and-reshape variant that
+        # avoids the concatenate measured 12.5 vs 7.6 ms/frame on the
+        # porous supercell shapes (bins 2313) while gaining only 0.4
+        # on glass (bins 2743) — the reshape is NOT a layout no-op for
+        # every (hi2, p) and its relayout cost swamps the saved pass
+        # (hardware A/B vs the pre-change kernel, round 5).
         def row_body(r, _):
-            kh3 = kh_ref[pl.ds(r * g, g), :].astype(jnp.float32).reshape(
-                p, 1, K
-            )
-            kl3 = kl_ref[pl.ds(r * g, g), :].astype(jnp.float32).reshape(
-                p, 1, K
-            )
-            oh_h = (kh3 == iota_h).astype(jnp.int8)  # [p, hi2, K]
-            oh_l = (kl3 == iota_l).astype(jnp.int8)  # [p, loq, K]
+            oh_h_parts = []
+            oh_l_parts = []
+            for q in range(p):
+                krh = kh_ref[pl.ds(r * g + q * gq, gq), :].astype(
+                    jnp.float32
+                ).reshape(1, gq * tj)
+                krl = kl_ref[pl.ds(r * g + q * gq, gq), :].astype(
+                    jnp.float32
+                ).reshape(1, gq * tj)
+                oh_h_parts.append(krh == iota_h)  # [hi2, gq*TJ]
+                oh_l_parts.append(krl == iota_l)  # [loq, gq*TJ]
+            oh_h = jnp.concatenate(oh_h_parts, axis=0).astype(jnp.int8)
+            oh_l = jnp.concatenate(oh_l_parts, axis=0).astype(jnp.int8)
             acc_ref[:] += jax.lax.dot_general(
-                oh_h.reshape(p * hi2, K), oh_l.reshape(p * loq, K),
+                oh_h, oh_l,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
