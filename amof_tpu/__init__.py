@@ -18,6 +18,19 @@ and serializes with suffix-enforcing ``write_to_file``
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Must precede the first jax import below: the XLA C++ extension
+# snapshots TF_CPP_MIN_LOG_LEVEL when its shared object loads, so
+# setting it inside enable_persistent_cache() (which runs after
+# core.frames pulls in jax) cannot silence the benign per-entry
+# XLA:CPU AOT feature-mismatch error logs on plain-CPU processes.
+# Mirrors amof_tpu.cache._platform_tag's platform resolution.
+if (_os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+        and "TF_CPP_MIN_LOG_LEVEL" not in _os.environ
+        and not _os.environ.get("AMOF_TPU_NO_COMPILE_CACHE")):
+    _os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
+
 from amof_tpu.cache import enable_persistent_cache
 from amof_tpu.core.frames import Frame, FrameBatch, Trajectory, as_frame_batch
 from amof_tpu.warmup import warmup_mosaic

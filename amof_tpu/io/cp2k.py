@@ -78,42 +78,48 @@ def clean_xyz(filename) -> None:
     """Drop repeated-step frames from a CP2K xyz output in place.
 
     Frames are keyed by the step number in their ``' i = ...'`` comment
-    line; only the first occurrence of each step is kept.
+    line; only the first occurrence of each step is kept. Streams
+    record-by-record (CP2K trajectories are routinely multi-GB; only
+    the seen-step set and one frame block are held in memory).
     """
-    with open(filename, "r") as fr:
-        records = list(_segment_xyz(fr))
-    kept: List[List[str]] = []
     seen = set()
-    for step, block in records:
-        if step is not None:
-            if step in seen:
-                logger.info("Removing duplicate %s", step)
-                continue
-            seen.add(step)
-        kept.append(block)
-    _rewrite(filename, kept)
+
+    def kept_records() -> Iterator[List[str]]:
+        with open(filename, "r") as fr:
+            for step, block in _segment_xyz(fr):
+                if step is not None:
+                    if step in seen:
+                        logger.info("Removing duplicate %s", step)
+                        continue
+                    seen.add(step)
+                yield block
+
+    _rewrite(filename, kept_records())
 
 
 def clean_tabular(filename) -> None:
     """Drop repeated headers and repeated-step rows from a CP2K tabular
     output (ener / cell / stress: one '#' header then one row per step)
-    in place. The first header line is kept; the step is the second
-    whitespace-separated field of each data row."""
-    with open(filename, "r") as fr:
-        header = fr.readline()
-        body = fr.readlines()
-    kept = [header]
+    in place. The first header line is kept; the step is the FIRST
+    whitespace-separated field of each data row. Streams row-by-row."""
     seen = set()
-    for row in body:
-        if row.startswith("#"):
-            continue  # repeated header from a restart
-        step = int(row.split()[0])
-        if step in seen:
-            logger.info("Removing duplicate %s", row.rstrip("\n"))
-            continue
-        seen.add(step)
-        kept.append(row)
-    _rewrite(filename, [kept])
+
+    def kept_rows() -> Iterator[List[str]]:
+        with open(filename, "r") as fr:
+            yield [fr.readline()]
+            for row in fr:
+                if row.startswith("#"):
+                    continue  # repeated header from a restart
+                step = int(row.split()[0])
+                if step in seen:
+                    logger.info(
+                        "Removing duplicate %s", row.rstrip("\n")
+                    )
+                    continue
+                seen.add(step)
+                yield [row]
+
+    _rewrite(filename, kept_rows())
 
 
 def _header_fields(header_line: str) -> List[Tuple[str, str]]:

@@ -25,8 +25,13 @@ chunk) and accumulates in vregs. Two Mosaic constraints shape it:
 Extra tested rows are harmless by construction: every candidate row is
 unwrapped to a true minimum-image atom position (round-based, exactly
 as the XLA path), so alien rows from neighboring columns can only
-reject points that genuinely lie inside a blocker sphere, and the dead
-pad rows (coords 1e6, radius -10, gid -1) can never pass a threshold.
+reject points that genuinely lie inside a blocker sphere. Dead pad
+rows (radius -10, gid -1) are explicitly neutralized with a NEGATIVE
+threshold: their squared threshold would be large positive and the
+unwrap collapses their 1e6 coordinates into the cell, so without the
+radius<0 guard they acted as phantom blockers whenever a window
+overran the real rows (reachable on small systems whose table tail
+sits within one padded window of the last column).
 
 The public entry ``surface_valid_columns_pallas`` mirrors
 ``surface_valid_columns``'s contract: (valid[S, K], idx_pt, idx_nudge,
@@ -155,7 +160,16 @@ def _make_kernel(k_dirs: int, n_seg: int, dirs: np.ndarray,
                     wcy = wx * c[1] + wy * c[4] + wzf * c[7]
                     wcz = wx * c[2] + wy * c[5] + wzf * c[8]
                     thr = (wr + peps) ** 2
-                    te = jnp.where(wg == cg, jnp.float32(-1.0), thr)
+                    # dead pad rows (radius -10) MUST be inert: the
+                    # squared threshold is large POSITIVE for them and
+                    # the xy unwrap collapses their 1e6 coordinates
+                    # into the cell (round(1e6 - cx) cancels at f32),
+                    # creating phantom blockers whenever a window
+                    # overruns the real rows — force thr negative for
+                    # any negative-radius row (self-exclusion too)
+                    te = jnp.where(
+                        (wg == cg) | (wr < 0), jnp.float32(-1.0), thr
+                    )
                     for k in range(k_dirs):
                         zs = jnp.round(fpzs[k] - wzf)
                         dx = pxs[k] - wcx - zs * c[6]
@@ -351,136 +365,6 @@ def surface_valid_columns_pallas(
     )
 
 
-def point_fit_pallas(
-    pts_tiled,  # f32[T, P, 3] fractional MC points, tile-assigned
-    cell,
-    frac_atoms,  # f32[N, 3], no padding rows
-    radii,  # f32[N]
-    probe,
-    nbx: int,
-    nby: int,
-    window: int,
-    interpret: bool | None = None,
-):
-    """Pallas probe-fit flags at tiled MC sample points.
-
-    Twin of the ``masks_of`` points ride inside
-    ``grid_kernel.void_masks_columns`` (Zeo++'s -vol estimator tests
-    probe fit EXACTLY at the MC points, amof/pore/pysimmzeopp.py:127-128):
-    per xy tile, each point is tested against the tile's 3 y-duplicated
-    candidate runs; fit iff d2 >= (R_j + probe)^2 for every candidate.
-    Same aligned-start window scheme as the surface kernel; the points
-    operand is tile-major so no dynamic row mapping is needed at all.
-
-    Returns (fit bool[T, P], missed). ``missed`` replicates the mask
-    pass's run-capacity flag so callers fall back identically.
-    """
-    from amof_tpu.pore import grid_kernel
-
-    if interpret is None:
-        interpret = _interpret()
-    n_tiles, p_raw = pts_tiled.shape[0], pts_tiled.shape[1]
-    assert n_tiles == nbx * nby
-    p8 = -(-p_raw // 8) * 8
-    stride = nby + 2
-    w_pad = (-(-window // SEG) + 1) * SEG
-    n_seg = w_pad // SEG
-    thr_p = np.float32(float(probe))
-
-    keys, payload = grid_kernel._sort_atoms_xycols(
-        frac_atoms, [radii], nbx, nby
-    )
-    m_rows = keys.shape[0]
-    m_pad = -(-(m_rows + w_pad) // SEG) * SEG
-    dead = jnp.tile(
-        jnp.array([[1e6], [1e6], [1e6], [-10.0]], jnp.float32),
-        (1, m_pad - m_rows),
-    )
-    tab = jnp.concatenate([payload, dead], axis=1)
-    cstarts = jnp.searchsorted(
-        keys, jnp.arange(nbx * stride + 1, dtype=jnp.float32)
-    ).astype(jnp.int32)
-
-    t_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    t_i, t_j = t_ids // nby, t_ids % nby
-    c0 = (
-        ((t_i[:, None] + jnp.array([-1, 0, 1])[None, :]) % nbx) * stride
-        + t_j[:, None]
-    )
-    st = cstarts[c0.reshape(-1)].reshape(n_tiles, 3)
-    en = cstarts[(c0 + 3).reshape(-1)].reshape(n_tiles, 3)
-    missed = jnp.any((en - st) > window)
-    st3 = jnp.minimum((st // SEG) * SEG, m_pad - w_pad)
-    ucx = (t_i.astype(jnp.float32) + 0.5) / nbx
-    ucy = (t_j.astype(jnp.float32) + 0.5) / nby
-
-    pts = pts_tiled
-    if p8 != p_raw:
-        pts = jnp.pad(
-            pts, ((0, 0), (0, p8 - p_raw), (0, 0)),
-            constant_values=0.5,
-        )
-    v_cart = matvec3(pts, cell)  # [T, P8, 3]
-    pts_op = jnp.stack(
-        [v_cart[..., 0], v_cart[..., 1], v_cart[..., 2], pts[..., 2]],
-        axis=1,
-    )[..., None]  # [T, 4, P8, 1]
-
-    def kern(st3_ref, ucx_ref, ucy_ref, cell_ref, pts_ref, tab_ref,
-             out_ref):
-        i = pl.program_id(0)
-        px = pts_ref[0, 0, :, :]
-        py = pts_ref[0, 1, :, :]
-        pz = pts_ref[0, 2, :, :]
-        vfz = pts_ref[0, 3, :, :]
-        cx = ucx_ref[i]
-        cy = ucy_ref[i]
-        c = [cell_ref[j] for j in range(9)]
-        fit = jnp.ones((p8, 1), jnp.bool_)
-        for s in range(3):
-            st0 = pl.multiple_of(st3_ref[i, s], SEG)
-            for q in range(n_seg):
-                sl = pl.ds(st0 + q * SEG, SEG)
-                wxf = tab_ref[pl.ds(0, 1), sl]
-                wyf = tab_ref[pl.ds(1, 1), sl]
-                wzf = tab_ref[pl.ds(2, 1), sl]
-                wr = tab_ref[pl.ds(3, 1), sl]
-                wx = wxf - jnp.round(wxf - cx)
-                wy = wyf - jnp.round(wyf - cy)
-                wcx = wx * c[0] + wy * c[3] + wzf * c[6]
-                wcy = wx * c[1] + wy * c[4] + wzf * c[7]
-                wcz = wx * c[2] + wy * c[5] + wzf * c[8]
-                zs = jnp.round(vfz - wzf)
-                dx = px - wcx - zs * c[6]
-                dy = py - wcy - zs * c[7]
-                dz = pz - wcz - zs * c[8]
-                d2 = dx * dx + dy * dy + dz * dz
-                thr = (wr + thr_p) ** 2
-                fit = fit & jnp.all(d2 >= thr, axis=1, keepdims=True)
-        out_ref[0] = fit
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 4, p8, 1), lambda i, *_: (i, 0, 0, 0)),
-            pl.BlockSpec((4, m_pad), lambda i, *_: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, p8, 1), lambda i, *_: (i, 0, 0)),
-    )
-    fit = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, p8, 1), jnp.bool_),
-        interpret=interpret,
-    )(
-        st3.astype(jnp.int32), ucx, ucy,
-        cell.astype(jnp.float32).reshape(-1),
-        pts_op, tab,
-    )
-    return fit[:, :p_raw, 0], missed
-
-
 def void_masks_points_pallas(
     frac_atoms,  # f32[N, 3], no padding rows
     cell,
@@ -634,8 +518,13 @@ def void_masks_points_pallas(
             wrr = tab_ref[pl.ds(3, 1), sl]
             fxc = fxr - jnp.round(fxr - cx)
             fyc = fyr - jnp.round(fyr - cy)
-            th = (wrr + thr_hi) ** 2
-            tl = (wrr + thr_lo) ** 2 if two_masks else None
+            # dead pad rows inert (see surface kernel note)
+            dead_r = wrr < 0
+            th = jnp.where(dead_r, jnp.float32(-1.0), (wrr + thr_hi) ** 2)
+            tl = (
+                jnp.where(dead_r, jnp.float32(-1.0), (wrr + thr_lo) ** 2)
+                if two_masks else None
+            )
 
             # voxel part: factorized quadratic, [grp, gz8, SEG]
             dz = vz[:, :] - fzr  # [gz8, SEG]
@@ -673,9 +562,11 @@ def void_masks_points_pallas(
                 dy = py - wcy - zs * c[7]
                 dzp = pz - wcz - zs * c[8]
                 d2p = dx * dx + dy * dy + dzp * dzp
+                thf = jnp.where(
+                    dead_r, jnp.float32(-1.0), (wrr + thr_fit) ** 2
+                )
                 fit_s[:, :] = fit_s[:, :] & jnp.all(
-                    d2p >= (wrr + thr_fit) ** 2, axis=1,
-                    keepdims=True,
+                    d2p >= thf, axis=1, keepdims=True,
                 )
             return carry
 

@@ -31,7 +31,11 @@ def main():
         from bench import make_porous_supercell
 
         k = 16
-        batch, n_atoms = make_porous_supercell(k)
+        made = make_porous_supercell(k)
+        if made is None:
+            sys.exit("porous supercell unavailable (ZIF-4 fixture "
+                     "missing); rerun without --porous")
+        batch, n_atoms = made
         box = float(batch.cell[0, 0, 0])
         print(f"porous supercell atoms={n_atoms}", file=sys.stderr)
     else:

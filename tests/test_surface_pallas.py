@@ -191,48 +191,6 @@ class TestBatchedPoreEngineParity:
             assert a["ASA_A^2"] > 0
 
 
-class TestPointFitPallas:
-    @pytest.mark.parametrize("seed", [1, 8])
-    def test_matches_masks_of_ride(self, seed):
-        """point_fit_pallas must reproduce the fit_pts flags of the
-        void_masks_columns MC ride exactly (Zeo++ -vol estimator,
-        amof/pore/pysimmzeopp.py:127-128)."""
-        from amof_tpu.pore.surface_kernel import point_fit_pallas
-
-        rng = np.random.default_rng(seed)
-        n, box = 300, 17.0
-        frac = rng.random((n, 3)).astype(np.float32)
-        frac[:, 2] *= 0.7  # void slab: mixed fit flags
-        cell = np.eye(3, dtype=np.float32) * box
-        radii = rng.uniform(1.1, 1.8, n).astype(np.float32)
-        nbx = nby = 4
-        window = 256
-        grid = (16, 16, 16)
-        plan = {"nbx": nbx, "nby": nby, "grid": grid}
-        pts = rng.random((3000, 3)).astype(np.float32)
-        pts_tiled, w = grid_kernel.assign_points_to_xytiles(pts, plan)
-
-        _, _, fit_ref, missed_ref = grid_kernel.void_masks_columns(
-            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
-            grid, probe=1.2, chan=1.2, nbx=nbx, nby=nby,
-            window=window, pts_tiled=jnp.asarray(pts_tiled),
-        )
-        fit_p, missed_p = point_fit_pallas(
-            jnp.asarray(pts_tiled), jnp.asarray(cell),
-            jnp.asarray(frac), jnp.asarray(radii), 1.2,
-            nbx=nbx, nby=nby, window=window, interpret=True,
-        )
-        assert bool(np.asarray(missed_ref)) == bool(np.asarray(missed_p))
-        # compare on real (weighted) points only: the ride computes
-        # padding slots at tile centers too, but they carry weight 0
-        real = np.asarray(w) > 0
-        np.testing.assert_array_equal(
-            np.asarray(fit_ref)[real], np.asarray(fit_p)[real]
-        )
-        f = np.asarray(fit_ref)[real]
-        assert 0 < f.sum() < f.size  # non-degenerate
-
-
 class TestVoidMasksPallas:
     @pytest.mark.parametrize("seed,two", [(0, False), (5, True)])
     def test_masks_and_fit_match_xla(self, seed, two):
@@ -335,3 +293,64 @@ class TestVoidMasksPallas:
             for key in ("AV_A^3", "NAV_A^3", "ASA_A^2", "NASA_A^2"):
                 assert a[key] == pytest.approx(b[key], rel=1e-5), key
         assert sum(a["ASA_A^2"] + a["NASA_A^2"] for a in recs["xla"]) > 0
+
+
+class TestDeadPadRows:
+    def test_small_system_window_overruns_dead_tail(self):
+        """N=40 with window=64: every window overruns the real rows
+        into the dead pad tail. Dead rows must be inert — without the
+        radius<0 threshold guard they acted as phantom blockers (the
+        xy unwrap collapses their 1e6 coordinates into the cell and
+        the squared threshold is large positive), silently corrupting
+        masks/fits/validity with missed=False."""
+        from amof_tpu.pore.surface_kernel import (
+            surface_valid_columns_pallas,
+            void_masks_points_pallas,
+        )
+
+        rng = np.random.default_rng(1)
+        n, box = 40, 20.0
+        frac = rng.random((n, 3)).astype(np.float32)
+        cell = np.eye(3, dtype=np.float32) * box
+        radii = rng.uniform(1.2, 1.8, n).astype(np.float32)
+        grid = (16, 16, 16)
+        pts = rng.random((800, 3)).astype(np.float32)
+        pts_tiled, w = grid_kernel.assign_points_to_xytiles(
+            pts, {"nbx": 4, "nby": 4}
+        )
+
+        mp_x, mc_x, fit_x, miss_x = grid_kernel.void_masks_columns(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            grid, probe=1.2, chan=1.2, nbx=4, nby=4, window=64,
+            pts_tiled=jnp.asarray(pts_tiled),
+        )
+        mp_p, mc_p, fit_p, miss_p = void_masks_points_pallas(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            grid, probe=1.2, chan=1.2, nbx=4, nby=4, window=64,
+            pts_tiled=jnp.asarray(pts_tiled), interpret=True,
+        )
+        assert bool(np.asarray(miss_x)) == bool(np.asarray(miss_p))
+        np.testing.assert_array_equal(np.asarray(mc_x), np.asarray(mc_p))
+        np.testing.assert_array_equal(np.asarray(mp_x), np.asarray(mp_p))
+        real = np.asarray(w) > 0
+        np.testing.assert_array_equal(
+            np.asarray(fit_x)[real], np.asarray(fit_p)[real]
+        )
+        assert np.asarray(mc_x).sum() > 0
+
+        dirs = jnp.asarray(grid_kernel.fibonacci_sphere(8))
+        vx, i1x, i2x, gx_, rx, mx = grid_kernel.surface_valid_columns(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            1.2, dirs, grid, nbx=3, nby=3, window=24, chunk=32,
+            col_cap=32,
+        )
+        vp, i1p, i2p, gp, rp, mp = surface_valid_columns_pallas(
+            jnp.asarray(frac), jnp.asarray(cell), jnp.asarray(radii),
+            1.2, dirs, grid, nbx=3, nby=3, window=24, col_cap=32,
+            interpret=True,
+        )
+        assert bool(np.asarray(mx)) == bool(np.asarray(mp))
+        ax = _per_atom(vx, gx_, i1x, i2x, n, 8)
+        ap = _per_atom(vp, gp, i1p, i2p, n, 8)
+        np.testing.assert_array_equal(ax[0], ap[0])
+        assert ax[0].sum() > 0  # sparse system: surface points exist
