@@ -428,7 +428,7 @@ def pallas_rdf_counts_blocked(
     bins: int,
     ti: int = 256,
     tj: int = 512,
-    g: int = 32,
+    g: int = 64,
     p="auto",
     ortho: bool = False,
     interpret: bool = False,
