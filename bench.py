@@ -280,6 +280,7 @@ def main():
     )
 
     per_frame_total = best / args.frames
+    fused_per_frame = best / args.frames
     analyses = "RDF+BAD+CN+MSD"
     if not args.no_pore:
         from amof_tpu.pore.batch import BatchedPore
@@ -465,12 +466,19 @@ def main():
             # block programs THROUGH THE TUNNEL (minutes; a real v5e
             # host compiles locally and the persistent cache erases it
             # on every later run) — measured round 5: cold 549 s vs
-            # warm ~180 s for the same 10240-frame fused pass
-            t0 = time.time()
-            ns_out = ns_fn(*ns_args)
-            for v in ns_out.values():
-                float(np.asarray(v).sum())
-            ns_fused_s = time.time() - t0
+            # warm ~171 s for the same 10240-frame fused pass. Skipped
+            # when the first pass already ran at the steady per-frame
+            # rate (warm cache): repeating it would add ~5 min of bench
+            # wall for the same number.
+            projected = nsf * fused_per_frame
+            if ns_fused_cold_s > 1.25 * projected + 30.0:
+                t0 = time.time()
+                ns_out = ns_fn(*ns_args)
+                for v in ns_out.values():
+                    float(np.asarray(v).sum())
+                ns_fused_s = time.time() - t0
+            else:
+                ns_fused_s = ns_fused_cold_s
             del ns_out, ns_args
 
             ns_pore_s = None
@@ -492,10 +500,14 @@ def main():
                 vals = [float(np.asarray(v).sum()) for v in res[:4]]
                 assert not np.asarray(res[4]).any(), "pore window miss"
                 ns_pore_cold_s = time.time() - t0
-                t0 = time.time()
-                res = np_fn(*np_args)
-                vals = [float(np.asarray(v).sum()) for v in res[:4]]
-                ns_pore_s = time.time() - t0
+                proj_p = nsf * pore_per_frame
+                if ns_pore_cold_s > 1.25 * proj_p + 30.0:
+                    t0 = time.time()
+                    res = np_fn(*np_args)
+                    vals = [float(np.asarray(v).sum()) for v in res[:4]]
+                    ns_pore_s = time.time() - t0
+                else:
+                    ns_pore_s = ns_pore_cold_s
                 del res, np_args
             ns_total = ns_fused_s + (ns_pore_s or 0.0)
             ns_cold = ns_fused_cold_s + (
